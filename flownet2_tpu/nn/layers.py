@@ -1,0 +1,197 @@
+"""NHWC conv/deconv building blocks (Flax linen).
+
+TPU-native equivalents of the reference's submodule builders
+(/root/reference/networks/submodules.py:7-38):
+
+- ``ConvBlock``    = conv():  Conv2d(+BatchNorm) + LeakyReLU(0.1)
+- ``IConv``        = i_conv(): Conv2d(+BatchNorm), no activation
+- ``PredictFlow``  = predict_flow(): 3x3 conv -> 2 channels
+- ``Deconv``       = deconv(): ConvTranspose2d(4, stride 2, pad 1) + LeakyReLU(0.1)
+- ``UpsampleFlow`` = the bare ConvTranspose2d(2, 2, 4, 2, 1) flow upsamplers
+
+Weight layout is HWIO and activations NHWC.  ``Deconv``/``UpsampleFlow``
+store the *flipped* kernel so the transposed convolution lowers to a single
+``conv_general_dilated`` with input dilation — the exact XLA-native form —
+and the checkpoint importer flips torch kernels on the way in
+(checkpoints/torch_import.py).
+
+Init matches the reference exactly (models.py:92-101): xavier-uniform
+weights, U[0, 1) biases (yes, uniform on [0,1) — that is what
+``torch.nn.init.uniform_`` does with default args).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+xavier_uniform = nn.initializers.xavier_uniform()
+bias_uniform = nn.initializers.uniform(scale=1.0)
+
+
+def leaky_relu(x: jax.Array) -> jax.Array:
+    """LeakyReLU(0.1), the activation used throughout the reference."""
+    return jax.nn.leaky_relu(x, negative_slope=0.1)
+
+
+class ConvBlock(nn.Module):
+    """conv() builder: Conv2d + optional BatchNorm + LeakyReLU(0.1).
+
+    Mirrors /root/reference/networks/submodules.py:7-18: with batch_norm the
+    conv drops its bias; padding is (k-1)//2.
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    batch_norm: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = (self.kernel_size - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=not self.batch_norm,
+            dtype=self.dtype,
+            kernel_init=xavier_uniform,
+            bias_init=bias_uniform,
+            name="conv",
+        )(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,  # torch BatchNorm2d momentum=0.1
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        return leaky_relu(x)
+
+
+class IConv(nn.Module):
+    """i_conv() builder: Conv2d + optional BatchNorm, no activation
+    (/root/reference/networks/submodules.py:20-29)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    batch_norm: bool = False
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = (self.kernel_size - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            kernel_init=xavier_uniform,
+            bias_init=bias_uniform,
+            name="conv",
+        )(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        return x
+
+
+class PredictFlow(nn.Module):
+    """predict_flow() builder: 3x3 conv to 2 flow channels
+    (/root/reference/networks/submodules.py:31-32)."""
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(
+            2, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)],
+            use_bias=True, dtype=self.dtype,
+            kernel_init=xavier_uniform, bias_init=bias_uniform,
+            name="conv",
+        )(x)
+
+
+class _TransposedConv(nn.Module):
+    """ConvTranspose2d(k=4, s=2, p=1) as input-dilated convolution.
+
+    out = conv(dilate2(x), kernel, pad (k-1-p)=2).  The stored HWIO kernel
+    is the flipped torch kernel, so this is a single XLA conv — no separate
+    transpose lowering.
+    """
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", xavier_uniform, (k, k, in_features, self.features),
+            jnp.float32)
+        dtype = self.dtype or x.dtype
+        pad = k - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=[(pad, pad), (pad, pad)],
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", bias_uniform, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Deconv(nn.Module):
+    """deconv() builder: ConvTranspose2d(4, 2, 1) + LeakyReLU(0.1)
+    (/root/reference/networks/submodules.py:34-38)."""
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = _TransposedConv(self.features, use_bias=True, dtype=self.dtype,
+                            name="tconv")(x)
+        return leaky_relu(x)
+
+
+class UpsampleFlow(nn.Module):
+    """Learned 2x flow upsampler: bare ConvTranspose2d(2, 2, 4, 2, 1).
+
+    bias=True in FlowNetC (/root/reference/networks/FlowNetC.py:55-58),
+    bias=False in FlowNetS (/root/reference/networks/FlowNetS.py:48-51),
+    default (True) in SD/Fusion.
+    """
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return _TransposedConv(2, use_bias=self.use_bias, dtype=self.dtype,
+                               name="tconv")(x)
+
+
+def cat(xs: Sequence[jax.Array]) -> jax.Array:
+    """Channel concat (NHWC) — the reference's torch.cat(dim=1)."""
+    return jnp.concatenate(xs, axis=-1)

@@ -1,0 +1,121 @@
+"""Model golden tests: parameter-count checksums and output shapes.
+
+Checksums come from the reference docstrings:
+  FlowNet2       162,518,834  (/root/reference/models.py:28)
+  FlowNetC        39,175,298  (/root/reference/networks/FlowNetC.py:11)
+  FlowNetS        38,676,504  (/root/reference/networks/FlowNetS.py:13)
+  FlowNetSD       45,371,666  (/root/reference/networks/FlowNetSD.py:9)
+  FlowNetFusion      581,226  (/root/reference/networks/FlowNetFusion.py:9)
+
+Everything runs under jit and inits are shared per model (CPU eager
+dispatch is prohibitively slow for nets this size).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flownet2_tpu.models import (
+    FlowNet2,
+    FlowNet2C,
+    FlowNet2CS,
+    FlowNet2CSS,
+    FlowNet2S,
+    FlowNet2SD,
+    FlowNetC,
+    FlowNetFusion,
+    FlowNetS,
+    FlowNetSD,
+)
+
+H, W = 64, 64  # one /64 tile keeps CPU test time down
+KEY = jax.random.PRNGKey(0)
+
+
+def n_params(variables):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+
+def pair_input(b=1, h=H, w=W):
+    rng = np.random.RandomState(0)
+    return jnp.array(rng.rand(b, 2, h, w, 3).astype(np.float32) * 255.0)
+
+
+def test_subnet_param_counts():
+    # eval_shape: parameter shapes only, no compute.  Constants are live
+    # torch counts from the reference (the FlowNetS docstring 38,676,504 is
+    # off by 2 vs its own code — torch gives 38,676,506 at 6 input chans).
+    v = jax.eval_shape(FlowNetS(input_channels=12).init, KEY,
+                       jnp.zeros((1, H, W, 12)))
+    assert n_params(v) == 38_695_322
+    v = jax.eval_shape(FlowNetS(input_channels=6).init, KEY,
+                       jnp.zeros((1, H, W, 6)))
+    assert n_params(v) == 38_676_506
+    v = jax.eval_shape(FlowNetC().init, KEY, jnp.zeros((1, H, W, 3)),
+                       jnp.zeros((1, H, W, 3)))
+    assert n_params(v) == 39_175_298
+    v = jax.eval_shape(FlowNetSD().init, KEY, jnp.zeros((1, H, W, 6)))
+    assert n_params(v) == 45_371_666
+    v = jax.eval_shape(FlowNetFusion().init, KEY, jnp.zeros((1, H, W, 11)))
+    assert n_params(v) == 581_226
+    v = jax.eval_shape(FlowNet2().init, KEY, jnp.zeros((1, 2, H, W, 3)))
+    assert n_params(v) == 162_518_834  # models.py:28
+    v = jax.eval_shape(FlowNet2CS().init, KEY, jnp.zeros((1, 2, H, W, 3)))
+    assert n_params(v) == 77_870_620
+    v = jax.eval_shape(FlowNet2CSS().init, KEY, jnp.zeros((1, 2, H, W, 3)))
+    assert n_params(v) == 116_565_942
+
+
+class TestShapes:
+    def test_flownet2s_eval_and_train(self):
+        m = FlowNet2S()
+        x = pair_input()
+        v = jax.jit(m.init)(KEY, x)
+        flow = jax.jit(m.apply)(v, x)
+        assert flow.shape == (1, H, W, 2)
+        flows = jax.jit(lambda v, x: m.apply(v, x, training=True))(v, x)
+        assert [f.shape for f in flows] == [
+            (1, H // 4, W // 4, 2), (1, H // 8, W // 8, 2),
+            (1, H // 16, W // 16, 2), (1, H // 32, W // 32, 2),
+            (1, H // 64, W // 64, 2)]
+        assert np.isfinite(np.asarray(flow)).all()
+
+    def test_flownet2c_eval(self):
+        m = FlowNet2C()
+        x = pair_input()
+        v = jax.jit(m.init)(KEY, x)
+        out = jax.jit(m.apply)(v, x)
+        assert out.shape == (1, H, W, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_flownet2sd_eval(self):
+        m = FlowNet2SD()
+        x = pair_input()
+        v = jax.jit(m.init)(KEY, x)
+        assert jax.jit(m.apply)(v, x).shape == (1, H, W, 2)
+
+    def test_flownet2_full_eval(self):
+        m = FlowNet2()
+        x = pair_input()
+        v = jax.jit(m.init)(KEY, x)
+        out = jax.jit(m.apply)(v, x)
+        assert out.shape == (1, H, W, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_css_eval(self):
+        m = FlowNet2CSS()
+        x = pair_input()
+        v = jax.jit(m.init)(KEY, x)
+        assert jax.jit(m.apply)(v, x).shape == (1, H, W, 2)
+
+    def test_batchnorm_variant_runs(self):
+        m = FlowNetS(input_channels=6, batch_norm=True)
+        x = jnp.zeros((2, H, W, 6))
+        v = jax.jit(m.init)(KEY, x)
+        assert "batch_stats" in v
+        out, updates = jax.jit(
+            lambda v, x: m.apply(v, x, training=True, train_bn=True,
+                                 mutable=["batch_stats"]))(v, x)
+        assert out[0].shape == (2, H // 4, W // 4, 2)
+        assert "batch_stats" in updates

@@ -1,0 +1,117 @@
+"""Resample2d (flow warp): numpy golden model + VJP checks.
+
+Golden model re-derives the reference CUDA semantics
+(/root/reference/networks/resample2d_package/resample2d_kernel.cu:43-71):
+clamped corner indices, unnormalised border weights, floor-based alpha/beta.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flownet2_tpu.ops import resample2d
+
+
+def warp_numpy(img, flow, kernel_size=1, bilinear=True):
+    B, H, W, C = img.shape
+    out = np.zeros_like(img, dtype=np.float64)
+    for b in range(B):
+        for y in range(H):
+            for x in range(W):
+                xf = x + float(flow[b, y, x, 0])
+                yf = y + float(flow[b, y, x, 1])
+                if bilinear:
+                    a = xf - np.floor(xf)
+                    be = yf - np.floor(yf)
+                    xL = int(np.clip(np.floor(xf), 0, W - 1))
+                    xR = int(np.clip(np.floor(xf) + 1, 0, W - 1))
+                    yT = int(np.clip(np.floor(yf), 0, H - 1))
+                    yB = int(np.clip(np.floor(yf) + 1, 0, H - 1))
+                    val = np.zeros(C)
+                    for fy in range(kernel_size):
+                        for fx in range(kernel_size):
+                            yTs, yBs = min(yT + fy, H - 1), min(yB + fy, H - 1)
+                            xLs, xRs = min(xL + fx, W - 1), min(xR + fx, W - 1)
+                            val += (1 - a) * (1 - be) * img[b, yTs, xLs]
+                            val += a * (1 - be) * img[b, yTs, xRs]
+                            val += (1 - a) * be * img[b, yBs, xLs]
+                            val += a * be * img[b, yBs, xRs]
+                    out[b, y, x] = val
+                else:
+                    xN = int(np.clip(np.floor(xf + 0.5), 0, W - 1))
+                    yN = int(np.clip(np.floor(yf + 0.5), 0, H - 1))
+                    out[b, y, x] = img[b, yN, xN]
+    return out.astype(np.float32)
+
+
+def _rand(shape, seed, scale=1.0):
+    return (np.random.RandomState(seed).randn(*shape) * scale).astype(np.float32)
+
+
+def test_bilinear_matches_numpy():
+    img = _rand((2, 7, 9, 3), 0)
+    flow = _rand((2, 7, 9, 2), 1, scale=2.5)
+    want = warp_numpy(img, flow)
+    got = np.asarray(jax.jit(resample2d, static_argnums=(2, 3))(jnp.array(img), jnp.array(flow)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_nearest_matches_numpy():
+    img = _rand((1, 6, 8, 4), 2)
+    flow = _rand((1, 6, 8, 2), 3, scale=3.0)
+    want = warp_numpy(img, flow, bilinear=False)
+    got = np.asarray(jax.jit(resample2d, static_argnums=(2, 3))(jnp.array(img), jnp.array(flow), 1, False))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_kernel_size_2_matches_numpy():
+    img = _rand((1, 6, 6, 2), 4)
+    flow = _rand((1, 6, 6, 2), 5, scale=1.5)
+    want = warp_numpy(img, flow, kernel_size=2)
+    got = np.asarray(jax.jit(resample2d, static_argnums=(2, 3))(jnp.array(img), jnp.array(flow), 2, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_zero_flow_is_identity():
+    img = _rand((1, 5, 5, 3), 6)
+    flow = np.zeros((1, 5, 5, 2), np.float32)
+    got = np.asarray(jax.jit(resample2d, static_argnums=(2, 3))(jnp.array(img), jnp.array(flow)))
+    np.testing.assert_allclose(got, img, rtol=1e-6, atol=1e-6)
+
+
+def test_integer_flow_shifts():
+    img = _rand((1, 6, 6, 1), 7)
+    flow = np.zeros((1, 6, 6, 2), np.float32)
+    flow[..., 0] = 1.0  # dx=1: out[y, x] = img[y, x+1] (clamped at border)
+    got = np.asarray(jax.jit(resample2d, static_argnums=(2, 3))(jnp.array(img), jnp.array(flow)))
+    np.testing.assert_allclose(got[0, :, :-1, 0], img[0, :, 1:, 0], atol=1e-6)
+    np.testing.assert_allclose(got[0, :, -1, 0], img[0, :, -1, 0], atol=1e-6)
+
+
+def test_vjp_matches_autodiff_of_impl():
+    """Custom VJP must equal autodiff of the raw gather formulation away
+    from non-differentiable points (integer flow values)."""
+    from flownet2_tpu.ops.resample2d import _resample2d_bilinear_impl
+    img = jnp.array(_rand((1, 6, 7, 3), 8))
+    flow = jnp.array(_rand((1, 6, 7, 2), 9, scale=1.7)) + 0.23
+    g = jnp.array(_rand((1, 6, 7, 3), 10))
+
+    vjps_custom = jax.jit(lambda a, f, c: jax.vjp(
+        lambda x, y: resample2d(x, y), a, f)[1](c))(img, flow, g)
+    vjps_auto = jax.jit(lambda a, f, c: jax.vjp(
+        lambda x, y: _resample2d_bilinear_impl(x, y, 1), a, f)[1](c))(img, flow, g)
+    for got, want in zip(vjps_custom, vjps_auto):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_grad_finite_differences():
+    img = jnp.array(_rand((1, 5, 5, 2), 11))
+    flow = jnp.array(_rand((1, 5, 5, 2), 12, scale=0.8)) + 0.31
+
+    @jax.jit
+    def loss(a, f):
+        return jnp.sum(resample2d(a, f) ** 2)
+
+    from fd_utils import check_grad_fd
+    check_grad_fd(loss, (img, flow))
