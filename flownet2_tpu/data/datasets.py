@@ -1,0 +1,245 @@
+"""Dataset index builders + samplers.
+
+TPU-framework re-design of /root/reference/datasets.py.  The reference's
+mutable-``args`` plumbing (datasets.py:31-36, and datasets.py:72 mutating
+``args.inference_size``) is replaced by explicit constructor parameters; the
+behaviors are preserved:
+
+- MpiSintel{Clean,Final}: pair listing from flow/*.flo names, 'test'
+  entries skipped (datasets.py:40-74).
+- FlyingChairs: consecutive *.ppm pairs + *.flo (datasets.py:114-173).
+- FlyingThings{Clean,Final}: left/right TRAIN dirs + into_future flows
+  (datasets.py:175-248).
+- ChairsSDHom{Train,Test}: t0/t1/flow dirs, flow rows vertically flipped
+  (datasets.py:289).
+- ImagesFromFolder: consecutive frames, zero-flow targets
+  (datasets.py:320-365).
+- StaticRandomCrop / StaticCenterCrop (datasets.py:13-28): the random crop
+  draws its offset once per sample and applies it to both frames + flow.
+- render size snapped down to multiples of 64 when uncropped
+  (datasets.py:68-72).
+
+Samples come out in TPU layout: images (2, H, W, 3) float32, flow
+(H, W, 2) float32.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from os.path import isfile, join, splitext
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import frame_io
+
+
+class StaticRandomCrop:
+    """Crop offset drawn once, reused for every array passed in
+    (datasets.py:13-22)."""
+
+    def __init__(self, image_size, crop_size, rng: np.random.RandomState):
+        self.th, self.tw = crop_size
+        h, w = image_size
+        self.h1 = int(rng.randint(0, h - self.th + 1))
+        self.w1 = int(rng.randint(0, w - self.tw + 1))
+
+    def __call__(self, img):
+        return img[self.h1:self.h1 + self.th, self.w1:self.w1 + self.tw]
+
+
+class StaticCenterCrop:
+    """Center crop (datasets.py:23-28)."""
+
+    def __init__(self, image_size, crop_size):
+        self.th, self.tw = crop_size
+        self.h, self.w = image_size
+
+    def __call__(self, img):
+        return img[(self.h - self.th) // 2:(self.h + self.th) // 2,
+                   (self.w - self.tw) // 2:(self.w + self.tw) // 2]
+
+
+def _snap64(size: Sequence[int]) -> List[int]:
+    return [(size[0] // 64) * 64, (size[1] // 64) * 64]
+
+
+class FlowDataset:
+    """Base: an index of (img1, img2, flow) paths + crop policy."""
+
+    def __init__(self, crop_size=(256, 256), inference_size=(-1, -1),
+                 is_cropped: bool = False, replicates: int = 1,
+                 seed: int = 0, flip_flow_vertical: bool = False):
+        self.crop_size = list(crop_size)
+        self.render_size = list(inference_size)
+        self.is_cropped = is_cropped
+        self.replicates = replicates
+        self.flip_flow_vertical = flip_flow_vertical
+        self._rng = np.random.RandomState(seed)
+        self.image_list: List[Tuple[str, str]] = []
+        self.flow_list: List[Optional[str]] = []
+
+    def _finalize(self):
+        assert len(self.image_list) == len(self.flow_list)
+        self.size = len(self.image_list)
+        if self.size == 0:
+            raise FileNotFoundError(
+                f"{type(self).__name__}: empty index — check the root path")
+        self.frame_size = frame_io.read_gen(self.image_list[0][0]).shape
+        if (self.render_size[0] < 0 or self.render_size[1] < 0
+                or self.frame_size[0] % 64 or self.frame_size[1] % 64):
+            self.render_size = _snap64(self.frame_size)
+
+    def __len__(self):
+        return self.size * self.replicates
+
+    def __getitem__(self, index: int):
+        index = index % self.size
+        img1 = frame_io.read_gen(self.image_list[index][0])
+        img2 = frame_io.read_gen(self.image_list[index][1])
+        flow_path = self.flow_list[index]
+        if flow_path is None:
+            flow = np.zeros(img1.shape[:2] + (2,), np.float32)
+        else:
+            flow = frame_io.read_gen(flow_path)
+            if self.flip_flow_vertical:
+                flow = flow[::-1, :, :]  # ChairsSDHom quirk (datasets.py:289)
+
+        image_size = img1.shape[:2]
+        if self.is_cropped:
+            cropper = StaticRandomCrop(image_size, self.crop_size, self._rng)
+        else:
+            cropper = StaticCenterCrop(image_size, self.render_size)
+        img1, img2, flow = cropper(img1), cropper(img2), cropper(flow)
+
+        images = np.stack([img1, img2]).astype(np.float32)  # (2, H, W, 3)
+        return images, np.ascontiguousarray(flow, np.float32)
+
+
+class MpiSintel(FlowDataset):
+    def __init__(self, root: str, dstype: str = "clean", **kw):
+        super().__init__(**kw)
+        flow_root = join(root, "flow")
+        image_root = join(root, dstype)
+        for file in sorted(glob.glob(join(flow_root, "*/*.flo"))):
+            fbase = file[len(flow_root) + 1:]
+            # skip withheld-GT scenes (datasets.py:47-49); unlike the
+            # reference we test the *relative* path so a root directory
+            # containing "test" doesn't empty the index
+            if "test" in fbase:
+                continue
+            fprefix, fnum = fbase[:-8], int(fbase[-8:-4])
+            img1 = join(image_root, fprefix + f"{fnum:04d}.png")
+            img2 = join(image_root, fprefix + f"{fnum + 1:04d}.png")
+            if not (isfile(img1) and isfile(img2) and isfile(file)):
+                continue
+            self.image_list.append((img1, img2))
+            self.flow_list.append(file)
+        self._finalize()
+
+
+class MpiSintelClean(MpiSintel):
+    def __init__(self, root: str, **kw):
+        super().__init__(root, dstype="clean", **kw)
+
+
+class MpiSintelFinal(MpiSintel):
+    def __init__(self, root: str, **kw):
+        super().__init__(root, dstype="final", **kw)
+
+
+class FlyingChairs(FlowDataset):
+    def __init__(self, root: str, **kw):
+        super().__init__(**kw)
+        images = sorted(glob.glob(join(root, "*.ppm")))
+        flows = sorted(glob.glob(join(root, "*.flo")))
+        assert len(images) // 2 == len(flows)
+        for i, flow in enumerate(flows):
+            self.image_list.append((images[2 * i], images[2 * i + 1]))
+            self.flow_list.append(flow)
+        self._finalize()
+
+
+class FlyingThings(FlowDataset):
+    def __init__(self, root: str, dstype: str = "frames_cleanpass", **kw):
+        super().__init__(**kw)
+        image_dirs = sorted(glob.glob(join(root, dstype, "TRAIN/*/*")))
+        image_dirs = sorted([join(f, "left") for f in image_dirs]
+                            + [join(f, "right") for f in image_dirs])
+        flow_dirs = sorted(glob.glob(join(root, "optical_flow_flo_format/TRAIN/*/*")))
+        flow_dirs = sorted([join(f, "into_future/left") for f in flow_dirs]
+                           + [join(f, "into_future/right") for f in flow_dirs])
+        assert len(image_dirs) == len(flow_dirs)
+        for idir, fdir in zip(image_dirs, flow_dirs):
+            images = sorted(glob.glob(join(idir, "*.png")))
+            flows = sorted(glob.glob(join(fdir, "*.flo")))
+            for i in range(len(flows)):
+                self.image_list.append((images[i], images[i + 1]))
+                self.flow_list.append(flows[i])
+        self._finalize()
+
+
+class FlyingThingsClean(FlyingThings):
+    def __init__(self, root: str, **kw):
+        super().__init__(root, dstype="frames_cleanpass", **kw)
+
+
+class FlyingThingsFinal(FlyingThings):
+    def __init__(self, root: str, **kw):
+        super().__init__(root, dstype="frames_finalpass", **kw)
+
+
+class ChairsSDHom(FlowDataset):
+    def __init__(self, root: str, dstype: str = "train", **kw):
+        kw.setdefault("flip_flow_vertical", True)
+        super().__init__(**kw)
+        image1 = sorted(glob.glob(join(root, dstype, "t0/*.png")))
+        image2 = sorted(glob.glob(join(root, dstype, "t1/*.png")))
+        flows = sorted(glob.glob(join(root, dstype, "flow/*.flo")))
+        assert len(image1) == len(flows)
+        for im1, im2, fl in zip(image1, image2, flows):
+            self.image_list.append((im1, im2))
+            self.flow_list.append(fl)
+        self._finalize()
+
+
+class ChairsSDHomTrain(ChairsSDHom):
+    def __init__(self, root: str, **kw):
+        super().__init__(root, dstype="train", **kw)
+
+
+class ChairsSDHomTest(ChairsSDHom):
+    def __init__(self, root: str, **kw):
+        super().__init__(root, dstype="test", **kw)
+
+
+class ImagesFromFolder(FlowDataset):
+    def __init__(self, root: str, iext: str = "png", **kw):
+        super().__init__(**kw)
+        images = sorted(glob.glob(join(root, "*." + iext)))
+        for im1, im2 in zip(images[:-1], images[1:]):
+            self.image_list.append((im1, im2))
+            self.flow_list.append(None)  # zero targets (datasets.py:364)
+        self._finalize()
+
+
+DATASETS = {
+    "MpiSintelClean": MpiSintelClean,
+    "MpiSintelFinal": MpiSintelFinal,
+    "FlyingChairs": FlyingChairs,
+    "FlyingThingsClean": FlyingThingsClean,
+    "FlyingThingsFinal": FlyingThingsFinal,
+    "ChairsSDHomTrain": ChairsSDHomTrain,
+    "ChairsSDHomTest": ChairsSDHomTest,
+    "ImagesFromFolder": ImagesFromFolder,
+}
+
+
+def get_dataset(name: str, **kwargs):
+    try:
+        cls = DATASETS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown dataset {name!r}; available: {sorted(DATASETS)}") from None
+    return cls(**kwargs)

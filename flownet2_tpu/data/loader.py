@@ -1,0 +1,121 @@
+"""Batched, prefetching data loader feeding the device mesh.
+
+Replaces the reference's torch DataLoader (+IteratorTimer,
+/root/reference/main.py:130-159, utils/tools.py:98-115) with a
+thread-pooled reader and a device-prefetch queue:
+
+- worker threads decode samples (PNG/PPM/.flo) in parallel,
+- batches are assembled as numpy and handed to ``jax.device_put`` with the
+  batch sharding (so each host only materialises its own shard on device),
+- ``prefetch`` keeps N batches in flight so input decode overlaps TPU step
+  time (the HBM-feeding analog of the reference's pinned-memory workers).
+
+For multi-host: pass ``process_count``/``process_index`` so each host reads
+a disjoint stripe of the index (SURVEY.md §7.4 host-sharded batching), and
+use ``jax.make_array_from_process_local_data`` via ``sharding``.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+Batch = collections.namedtuple("Batch", ["images", "flow"])
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = True, num_workers: int = 4, seed: int = 0,
+                 process_count: int = 1, process_index: int = 0):
+        if batch_size % process_count:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over {process_count} hosts")
+        self.dataset = dataset
+        self.global_batch = batch_size
+        self.local_batch = batch_size // process_count
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.process_count = process_count
+        self.process_index = process_index
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.global_batch
+        if not self.drop_last and len(self.dataset) % self.global_batch:
+            n += 1
+        return n
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _index_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            # same permutation on every host; hosts take disjoint stripes
+            np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = self._index_order()
+        n_batches = len(self)
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            for b in range(n_batches):
+                start = b * self.global_batch
+                idxs = order[start:start + self.global_batch]
+                if len(idxs) < self.global_batch:
+                    if self.drop_last:
+                        return
+                    idxs = np.concatenate(
+                        [idxs, order[:self.global_batch - len(idxs)]])
+                # this host's stripe of the global batch
+                lo = self.process_index * self.local_batch
+                local = idxs[lo:lo + self.local_batch]
+                samples = list(pool.map(self.dataset.__getitem__, local))
+                images = np.stack([s[0] for s in samples])  # (B, 2, H, W, 3)
+                flow = np.stack([s[1] for s in samples])    # (B, H, W, 2)
+                yield Batch(images, flow)
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Wrap a host batch iterator with an N-deep device-transfer queue.
+
+    With ``sharding`` (a jax.sharding.Sharding for the global batch),
+    host-local shards are assembled into global arrays via
+    ``jax.make_array_from_process_local_data``; otherwise a plain
+    ``device_put`` is used.
+    """
+    import jax
+
+    def transfer(batch: Batch) -> Batch:
+        if sharding is not None:
+            return Batch(
+                jax.make_array_from_process_local_data(
+                    sharding.images, batch.images),
+                jax.make_array_from_process_local_data(
+                    sharding.flow, batch.flow))
+        return Batch(jax.device_put(batch.images), jax.device_put(batch.flow))
+
+    queue: collections.deque = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(transfer(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(transfer(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
+class ShardingPair(collections.namedtuple("ShardingPair", ["images", "flow"])):
+    """Shardings for the two batch components (see parallel.mesh)."""
