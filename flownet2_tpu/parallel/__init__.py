@@ -1,0 +1,9 @@
+"""Device-mesh parallelism: mesh construction + sharding plans."""
+
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    SPATIAL_AXIS,
+    MeshPlan,
+    init_distributed,
+    make_mesh,
+)

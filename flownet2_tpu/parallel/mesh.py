@@ -1,0 +1,78 @@
+"""Device-mesh construction and sharding policy.
+
+The reference's only parallelism is single-process DataParallel
+(/root/reference/main.py:189,200: batch scatter/gather over local GPUs).
+The TPU-native design replaces it with a 2-D ``jax.sharding.Mesh``:
+
+- ``data``    — batch axis (the DP replacement).  Gradients are combined by
+  XLA-inserted all-reduces over ICI when params are replicated and the
+  batch is sharded; nothing hand-written.
+- ``spatial`` — image-height axis (the sequence-parallel analog for flow
+  nets, SURVEY.md §2.3/§5): convolutions over an H-sharded tensor get
+  their halo exchanges inserted by GSPMD automatically; the correlation
+  op's ±20 px window rides the same mechanism.
+
+Multi-host: ``jax.distributed.initialize`` (call ``init_distributed``)
+then the same mesh spans all hosts, with the loader feeding per-host
+shards (data.loader.DataLoader process_count/process_index).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.loader import ShardingPair
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (no-op single-host)."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              spatial: int = 1) -> Mesh:
+    """(n/spatial, spatial) mesh over ``devices`` with (data, spatial) axes."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % spatial:
+        raise ValueError(f"{n} devices not divisible by spatial={spatial}")
+    arr = np.asarray(devices).reshape(n // spatial, spatial)
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshPlan:
+    """All shardings a train/eval step needs."""
+    mesh: Mesh
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    @property
+    def batch_images(self) -> NamedSharding:
+        # (B, 2, H, W, 3): batch over data, H over spatial
+        return NamedSharding(self.mesh, P(DATA_AXIS, None, SPATIAL_AXIS, None, None))
+
+    @property
+    def batch_flow(self) -> NamedSharding:
+        # (B, H, W, 2)
+        return NamedSharding(self.mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
+
+    @property
+    def batch(self) -> ShardingPair:
+        return ShardingPair(self.batch_images, self.batch_flow)
+
+    def local_batch_size(self, global_batch: int) -> int:
+        return global_batch // jax.process_count()

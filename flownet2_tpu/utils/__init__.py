@@ -1,0 +1,10 @@
+"""Run tooling: timers, metric logging, progress."""
+
+from .tools import (  # noqa: F401
+    IteratorTimer,
+    MetricLogger,
+    TimerBlock,
+    format_dictionary_of_losses,
+    gpumemusage,
+    progress,
+)
