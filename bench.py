@@ -14,16 +14,38 @@ import time
 import numpy as np
 
 
-def time_fn(fn, *args, iters=20, warmup=3):
-    import jax
+def time_chained(apply, variables, images, iters=30, warmup=3):
+    """Time jitted ``apply`` with a forced inter-iteration data dependency.
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+    On the axon-tunneled TPU, block_until_ready under-reports for fast
+    graphs and a D2H fetch costs ~100 ms, so: chain each iteration's input
+    on the previous output (can't be elided/overlapped), run the whole
+    chain under one jit, fetch one scalar at the end, and amortise over
+    ``iters``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(variables, images, carry):
+        out = apply(variables, images + carry)
+        # scalar feedback; numerically ~0 but forces sequencing
+        return jnp.mean(out) * 1e-24
+
+    def run(n):
+        carry = jnp.float32(0.0)
+        for _ in range(n):
+            carry = step(variables, images, carry)
+        return float(carry)  # single fetch waits for the whole chain
+
+    run(warmup)  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    run(1)
+    overhead = time.perf_counter() - t0  # fetch + dispatch floor
+    t0 = time.perf_counter()
+    run(iters)
+    total = time.perf_counter() - t0
+    return max((total - overhead) / (iters - 1), 1e-9)
 
 
 def main():
@@ -44,8 +66,7 @@ def main():
     for name in ("FlowNet2", "FlowNet2S", "FlowNet2C"):
         model = get_model(name)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), images)
-        apply = jax.jit(model.apply)
-        dt = time_fn(apply, variables, images)
+        dt = time_chained(model.apply, variables, images)
         fps = batch / dt
         results[name] = fps
         print(f"{name}: {dt*1e3:.2f} ms/batch{batch} -> {fps:.1f} frames/s",

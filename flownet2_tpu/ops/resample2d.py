@@ -59,6 +59,25 @@ def _bilinear_parts(flow, height, width):
     return alpha, beta, xL, xR, yT, yB
 
 
+# Pallas forward kernel: None = auto (TPU only), True/False = force.
+_USE_PALLAS = None
+
+
+def set_use_pallas(flag) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = flag
+
+
+def _pallas_enabled(img, kernel_size, bilinear) -> bool:
+    from . import resample2d_pallas
+
+    if not resample2d_pallas.supported(img, kernel_size, bilinear):
+        return False
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
+    return jax.default_backend() == "tpu"
+
+
 def _resample2d_bilinear_impl(img, flow, kernel_size):
     _, height, width, _ = img.shape
     alpha, beta, xL, xR, yT, yB = _bilinear_parts(flow, height, width)
@@ -107,6 +126,10 @@ def resample2d(img: jax.Array, flow: jax.Array, kernel_size: int = 1,
       bilinear: bilinear vs nearest sampling.
     """
     if bilinear:
+        if _pallas_enabled(img, kernel_size, bilinear):
+            from .resample2d_pallas import resample2d_bilinear_pallas
+
+            return resample2d_bilinear_pallas(img, flow)
         return _resample2d_bilinear_impl(img, flow, kernel_size)
     return _resample2d_nearest_impl(img, flow, kernel_size)
 
