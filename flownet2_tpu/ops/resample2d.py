@@ -126,6 +126,12 @@ def resample2d(img: jax.Array, flow: jax.Array, kernel_size: int = 1,
       bilinear: bilinear vs nearest sampling.
     """
     if bilinear:
+        if img.dtype == jnp.bfloat16:
+            # warp in f32 (cheap: 3-channel images), return bf16 — keeps the
+            # Pallas fast path and avoids bf16 coordinate precision loss
+            return resample2d(img.astype(jnp.float32),
+                              flow.astype(jnp.float32),
+                              kernel_size, bilinear).astype(jnp.bfloat16)
         if _pallas_enabled(img, kernel_size, bilinear):
             from .resample2d_pallas import resample2d_bilinear_pallas
 

@@ -1,0 +1,83 @@
+"""CLI integration: inference-on-folder and a short training run."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from flownet2_tpu.cli import build_parser, main
+from flownet2_tpu.data import read_flo, write_flo
+
+
+def _write_png(path, arr):
+    from PIL import Image
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture
+def frames_dir(tmp_path):
+    rng = np.random.RandomState(0)
+    d = tmp_path / "frames"
+    d.mkdir()
+    base = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    for i in range(3):
+        _write_png(d / f"{i:03d}.png", np.roll(base, i * 2, axis=1))
+    return d
+
+
+@pytest.fixture
+def sintel_dir(tmp_path):
+    rng = np.random.RandomState(1)
+    root = tmp_path / "sintel"
+    (root / "flow" / "s1").mkdir(parents=True)
+    (root / "clean" / "s1").mkdir(parents=True)
+    for i in (1, 2, 3):
+        _write_png(root / "clean" / "s1" / f"frame_{i:04d}.png",
+                   rng.randint(0, 255, (64, 64, 3), dtype=np.uint8))
+    for i in (1, 2):
+        write_flo(root / "flow" / "s1" / f"frame_{i:04d}.flo",
+                  rng.randn(64, 64, 2).astype(np.float32))
+    return root
+
+
+def test_parser_exposes_registry_flags():
+    p = build_parser()
+    args = p.parse_args(["--model", "FlowNet2S", "--model_div_flow", "10",
+                         "--loss", "MultiScale", "--loss_norm", "L2",
+                         "--optimizer_lr", "3e-5"])
+    assert args.model_div_flow == 10.0
+    assert args.loss_norm == "L2"
+    assert args.optimizer_lr == 3e-5
+
+
+def test_cli_inference_save_flow(frames_dir, tmp_path):
+    save = tmp_path / "work"
+    rc = main(["--inference", "--save_flow", "--model", "FlowNet2S",
+               "--batch_size", "2", "--save", str(save),
+               "--inference_dataset", "ImagesFromFolder",
+               "--inference_dataset_root", str(frames_dir)])
+    assert rc == 0
+    flows = sorted((save / "inference" / "flows").glob("*.flo"))
+    assert len(flows) == 2
+    f = read_flo(flows[0])
+    assert f.shape == (64, 64, 2)
+    assert (save / "args.json").exists()
+
+
+def test_cli_train_one_epoch(sintel_dir, tmp_path):
+    save = tmp_path / "work"
+    rc = main(["--model", "FlowNet2S", "--loss", "MultiScale",
+               "--optimizer", "Adam", "--optimizer_lr", "1e-4",
+               "--batch_size", "2", "--total_epochs", "1",
+               "--validation_frequency", "1", "--save", str(save),
+               "--training_dataset", "MpiSintelClean",
+               "--training_dataset_root", str(sintel_dir),
+               "--validation_dataset", "MpiSintelClean",
+               "--validation_dataset_root", str(sintel_dir)])
+    assert rc == 0
+    metrics = [json.loads(l) for l in
+               open(save / "run.metrics.jsonl").read().splitlines()]
+    assert any(m["split"] == "train" for m in metrics)
+    assert any(m["split"] == "val" for m in metrics)
+    assert (save / "train-checkpoint").exists()
