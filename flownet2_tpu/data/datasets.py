@@ -94,6 +94,50 @@ class FlowDataset:
     def __len__(self):
         return self.size * self.replicates
 
+    _NATIVE_EXTS = {".png", ".jpg", ".jpeg", ".ppm", ".pgm"}
+
+    def batch_plan(self, indices):
+        """Decode plan for native.batch_load (one C call per batch): paths +
+        per-item crop origins in the same draw order as __getitem__.
+
+        Returns None when the native loader can't serve this dataset
+        (.bin/.raw frames); the loader then falls back to per-sample
+        __getitem__ decoding.
+        """
+        ext = splitext(self.image_list[0][0])[1].lower()
+        if ext not in self._NATIVE_EXTS:
+            return None
+        h, w = self.frame_size[:2]
+        if self.is_cropped:
+            th, tw = self.crop_size
+        else:
+            th, tw = self.render_size
+        img_paths, img_off = [], []
+        flo_paths, flo_off, flo_slots = [], [], []
+        for slot, index in enumerate(indices):
+            index = int(index) % self.size
+            if self.is_cropped:
+                oy = int(self._rng.randint(0, h - th + 1))
+                ox = int(self._rng.randint(0, w - tw + 1))
+            else:
+                oy, ox = (h - th) // 2, (w - tw) // 2
+            img_paths.extend(self.image_list[index])
+            img_off.extend([(oy, ox), (oy, ox)])
+            flow_path = self.flow_list[index]
+            if flow_path is not None:
+                flo_paths.append(flow_path)
+                flo_off.append((oy, ox))
+                flo_slots.append(slot)
+        return {
+            "img_paths": img_paths,
+            "img_offsets": np.asarray(img_off, np.int32).reshape(-1, 2),
+            "flo_paths": flo_paths,
+            "flo_offsets": np.asarray(flo_off, np.int32).reshape(-1, 2),
+            "flo_slots": flo_slots,
+            "crop": (th, tw),
+            "flip_flow_vertical": self.flip_flow_vertical,
+        }
+
     def __getitem__(self, index: int):
         index = index % self.size
         img1 = frame_io.read_gen(self.image_list[index][0])

@@ -19,6 +19,9 @@ TAG_FLOAT = 202021.25
 
 def read_flo(path: str | pathlib.Path) -> np.ndarray:
     """Read a Middlebury .flo file -> (H, W, 2) float32 (dx, dy)."""
+    from .. import native
+    if native.available():
+        return native.read_flo(path)
     with open(path, "rb") as f:
         magic = np.frombuffer(f.read(4), np.float32)[0]
         if magic != np.float32(TAG_FLOAT):
@@ -37,6 +40,9 @@ def write_flo(path: str | pathlib.Path, flow: np.ndarray) -> None:
     flow = np.asarray(flow)
     if flow.ndim != 3 or flow.shape[2] != 2:
         raise ValueError(f"flow must be (H, W, 2), got {flow.shape}")
+    from .. import native
+    if native.available():
+        return native.write_flo(path, flow)
     h, w = flow.shape[:2]
     with open(path, "wb") as f:
         f.write(np.float32(TAG_FLOAT).tobytes())

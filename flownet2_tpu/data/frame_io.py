@@ -19,6 +19,9 @@ _IMG_EXTS = {".png", ".jpg", ".jpeg", ".ppm"}
 def read_gen(file_name: str | pathlib.Path) -> np.ndarray:
     ext = os.path.splitext(str(file_name))[-1].lower()
     if ext in _IMG_EXTS:
+        from .. import native
+        if native.available():
+            return native.read_image(file_name)
         from PIL import Image
         im = np.asarray(Image.open(str(file_name)))
         if im.ndim == 2:

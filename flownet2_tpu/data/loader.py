@@ -30,7 +30,8 @@ Batch = collections.namedtuple("Batch", ["images", "flow"])
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = True, num_workers: int = 4, seed: int = 0,
-                 process_count: int = 1, process_index: int = 0):
+                 process_count: int = 1, process_index: int = 0,
+                 use_native: bool = True):
         if batch_size % process_count:
             raise ValueError(
                 f"batch_size {batch_size} must divide over {process_count} hosts")
@@ -44,6 +45,37 @@ class DataLoader:
         self.process_count = process_count
         self.process_index = process_index
         self._epoch = 0
+        self.use_native = use_native and self._native_ok()
+
+    def _native_ok(self) -> bool:
+        if not hasattr(self.dataset, "batch_plan"):
+            return False
+        from .. import native
+        return native.available()
+
+    def _native_batch(self, idxs: np.ndarray) -> Optional[Batch]:
+        """Whole-batch decode+crop in one native call (C thread pool decodes
+        every frame and flow in parallel, writing float32 straight into the
+        batch buffers)."""
+        from .. import native
+        plan = self.dataset.batch_plan(idxs)
+        if plan is None:
+            return None
+        th, tw = plan["crop"]
+        imgs, flows_part = native.batch_load(
+            plan["img_paths"], plan["img_offsets"],
+            plan["flo_paths"], plan["flo_offsets"], th, tw,
+            flip_flow_vertical=plan["flip_flow_vertical"],
+            n_threads=self.num_workers)
+        n = len(idxs)
+        images = imgs.reshape(n, 2, th, tw, 3)
+        if len(plan["flo_slots"]) == n:
+            flow = flows_part
+        else:
+            flow = np.zeros((n, th, tw, 2), np.float32)
+            if plan["flo_slots"]:
+                flow[np.asarray(plan["flo_slots"])] = flows_part
+        return Batch(images, flow)
 
     def __len__(self):
         n = len(self.dataset) // self.global_batch
@@ -76,6 +108,11 @@ class DataLoader:
                 # this host's stripe of the global batch
                 lo = self.process_index * self.local_batch
                 local = idxs[lo:lo + self.local_batch]
+                if self.use_native:
+                    batch = self._native_batch(local)
+                    if batch is not None:
+                        yield batch
+                        continue
                 samples = list(pool.map(self.dataset.__getitem__, local))
                 images = np.stack([s[0] for s in samples])  # (B, 2, H, W, 3)
                 flow = np.stack([s[1] for s in samples])    # (B, H, W, 2)

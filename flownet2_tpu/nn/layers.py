@@ -127,11 +127,23 @@ class PredictFlow(nn.Module):
 
 
 class _TransposedConv(nn.Module):
-    """ConvTranspose2d(k=4, s=2, p=1) as input-dilated convolution.
+    """ConvTranspose2d(k=4, s=2, p=1) via phase decomposition.
 
-    out = conv(dilate2(x), kernel, pad (k-1-p)=2).  The stored HWIO kernel
-    is the flipped torch kernel, so this is a single XLA conv — no separate
-    transpose lowering.
+    The stored HWIO kernel is the flipped torch kernel Wf, so the op is
+    mathematically conv(dilate2(x), Wf, pad=2).  Lowering that directly
+    makes the MXU multiply mostly zeros (the dilated input is 3/4 zero) and
+    leaves the output-channel dim at Cout — badly lane-starved for the
+    small-Cout full-resolution deconvs (Fusion's 16/32-channel layers ran at
+    ~12% MXU utilisation).
+
+    Instead, split by output parity: out[2u+py, 2v+px] only reads taps
+    Wf[2a+py, 2b+px], a 2x2 subkernel per phase.  One stride-1 VALID conv
+    over the (1,1)-padded input with the (2, 2, Cin, 4*Cout) phase-stacked
+    kernel computes exactly the useful FLOPs at 4x the lane width, and the
+    phases interleave back with a reshape (no gathers):
+
+        y = conv(pad(x, 1), k2)                  # (B, H+1, W+1, 4*Cout)
+        out[2u+py, 2v+px, c] = y[u+py, v+px, (2*py+px)*Cout + c]
     """
     features: int
     use_bias: bool = True
@@ -149,18 +161,38 @@ class _TransposedConv(nn.Module):
             "kernel", xavier_uniform, (k, k, in_features, self.features),
             jnp.float32)
         dtype = self.dtype or x.dtype
-        pad = k - 1 - self.padding
+        assert (k, self.stride, self.padding) == (4, 2, 1), \
+            "phase decomposition is specialised to the reference's (4, 2, 1)"
+        batch, height, width, _ = x.shape
+        cout = self.features
+
+        # Wf[2a+py, 2b+px, ci, co] -> k2[a, b, ci, (2*py+px)*Cout + co]
+        k2 = kernel.reshape(2, 2, 2, 2, in_features, cout)
+        k2 = k2.transpose(0, 2, 4, 1, 3, 5).reshape(2, 2, in_features, 4 * cout)
+
+        xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
         y = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype),
+            xp, k2.astype(dtype),
             window_strides=(1, 1),
-            padding=[(pad, pad), (pad, pad)],
-            lhs_dilation=(self.stride, self.stride),
+            padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        )  # (B, H+1, W+1, 4*Cout)
+
+        phases = [
+            y[:, py:py + height, px:px + width,
+              (2 * py + px) * cout:(2 * py + px + 1) * cout]
+            for py in (0, 1) for px in (0, 1)
+        ]
+        # (B, H, py, W, px, C) -> (B, 2H, 2W, C)
+        out = jnp.stack(
+            [jnp.stack(phases[0:2], axis=3), jnp.stack(phases[2:4], axis=3)],
+            axis=2)
+        out = out.reshape(batch, 2 * height, 2 * width, cout)
         if self.use_bias:
-            bias = self.param("bias", bias_uniform, (self.features,), jnp.float32)
-            y = y + bias.astype(dtype)
-        return y
+            bias = self.param("bias", bias_uniform, (self.features,),
+                              jnp.float32)
+            out = out + bias.astype(dtype)
+        return out
 
 
 class Deconv(nn.Module):

@@ -52,7 +52,8 @@ import jax.numpy as jnp
 Array = jax.Array
 
 # Set to "mxu" / "shifts" / "pallas" to pick the forward implementation.
-_DEFAULT_IMPL = "mxu"
+# "pallas" falls back to "mxu" off-TPU or for unsupported configurations.
+_DEFAULT_IMPL = "pallas"
 
 
 def set_default_impl(impl: str) -> None:
@@ -170,12 +171,15 @@ def _dispatch(f1, f2, pad_size, kernel_size, max_displacement, stride1,
                                 max_displacement, stride1, stride2)
     if impl == "pallas":
         from . import correlation_pallas
-        if correlation_pallas.supported(f1, pad_size, kernel_size,
-                                        max_displacement, stride1, stride2):
+        if jax.default_backend() == "tpu" and correlation_pallas.supported(
+                f1, pad_size, kernel_size, max_displacement, stride1, stride2):
             return correlation_pallas.correlation_pallas(
                 f1, f2, pad_size, max_displacement, stride2)
-        return _correlation_mxu(f1, f2, pad_size, kernel_size,
-                                max_displacement, stride1, stride2)
+        if kernel_size == 1 and stride1 == 1 and pad_size == max_displacement:
+            return _correlation_mxu(f1, f2, pad_size, kernel_size,
+                                    max_displacement, stride1, stride2)
+        return _correlation_shifts(f1, f2, pad_size, kernel_size,
+                                   max_displacement, stride1, stride2)
     return _correlation_shifts(f1, f2, pad_size, kernel_size,
                                max_displacement, stride1, stride2)
 

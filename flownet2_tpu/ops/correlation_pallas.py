@@ -1,0 +1,128 @@
+"""Pallas TPU kernel for the correlation cost volume (forward).
+
+Motivation: the XLA "mxu" path (ops/correlation.py:_correlation_mxu)
+materialises two giant HBM intermediates — the stacked row-shifted copies of
+f2 (B, D, H, Wp, C) and the full cross-product tensor (B, D, H, W, Wp) —
+before gathering the 21-column band it actually needs.  At the FlowNetC
+benchmark shape (8, 48, 64, 256) that is ~0.9 GB + ~0.2 GB of HBM traffic
+for ~28 GFLOP of useful work: memory-bound by an order of magnitude.
+
+This kernel keeps everything on-chip:
+
+  - f2 is padded by ``max_displacement``, transposed to (B, Hp, C, Wp) and
+    cast to bf16 in XLA once (~one HBM pass), then held **resident in VMEM
+    for a whole batch item** (grid iterates (B, H) with the f2 block index
+    constant in the row dimension, so Pallas DMAs it once per b).
+  - For each output row y and each row displacement t in [0, D): one MXU
+    matmul  f1[y] (W, C) @ f2p[y + t*s2] (C, Wp)  computes every column
+    cross product of the row pair in a single systolic pass.
+  - The stride-s2 band diagonal  out[x, ti] = M[x, x + ti*s2]  is extracted
+    with a tile-local lane gather (jnp.take_along_axis on the last axis —
+    the same Mosaic hardware dynamic-gather resample2d_pallas relies on).
+
+Accumulation and output are f32; matmul operands are bf16 (matching XLA's
+default f32 matmul precision on TPU, which also feeds the MXU bf16).
+
+Semantics match ops/correlation.py for the K=1, stride1=1, pad==maxd case
+(the configuration every FlowNet model uses, reference
+networks/FlowNetC.py:31: pad=20, K=1, maxd=20, s1=1, s2=2 -> D=21, 441
+channels; normalisation by nelems=C, correlation_cuda_kernel.cu:143).
+
+Restrictions (callers fall back to the XLA path otherwise, see supported()):
+  K == 1, s1 == 1, pad == maxd, W + 2*maxd <= 128 (the band gather must stay
+  inside one 128-lane tile), H % 8 == 0, and the resident f2 copy must fit
+  in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave room for blocks + double buffering
+
+
+def supported(f1: jax.Array, pad_size: int, kernel_size: int,
+              max_displacement: int, stride1: int, stride2: int) -> bool:
+    _, height, width, channels = f1.shape
+    if not (kernel_size == 1 and stride1 == 1 and pad_size == max_displacement
+            and max_displacement % stride2 == 0):
+        return False
+    if f1.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if width + 2 * max_displacement > _LANES or height % 8 != 0:
+        return False
+    resident = (height + 2 * max_displacement) * channels * _LANES * 2
+    return resident <= _VMEM_BUDGET
+
+
+def _kernel(f1_ref, f2_ref, out_ref, *, disp, stride2, width):
+    """Grid (B, H).  f1_ref (1,1,W,C) bf16; f2_ref (1,Hp,C,Wp) bf16 resident
+    per batch item; out_ref (1,1,W,D*D) f32."""
+    y = pl.program_id(1)
+    a = f1_ref[0, 0]  # (W, C)
+    # Band gather indices: col = x + ti*s2 (x in [0,W), ti in [0,D)).
+    # Mosaic's dynamic lane gather is a same-shape permutation gather, so the
+    # index map covers all Wp lanes; only the first D lanes are meaningful.
+    wp = f2_ref.shape[-1]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (width, wp), 0)
+    tis = jax.lax.broadcasted_iota(jnp.int32, (width, wp), 1)
+    idx = jnp.minimum(xs + tis * stride2, wp - 1)
+    for t in range(disp):  # static unroll over row displacements
+        slab = f2_ref[0, y + t * stride2]  # (C, Wp)
+        m = jnp.dot(a, slab, preferred_element_type=jnp.float32)  # (W, Wp)
+        band = jnp.take_along_axis(m, idx, axis=1)  # (W, Wp)
+        out_ref[0, 0, :, t * disp:(t + 1) * disp] = band[:, :disp]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad_size", "max_displacement", "stride2"))
+def correlation_pallas(f1: jax.Array, f2: jax.Array, pad_size: int,
+                       max_displacement: int, stride2: int) -> jax.Array:
+    """Forward correlation; f1/f2 (B, H, W, C).  Returns (B, H, W, D*D) in
+    f1's dtype (f32 accumulation internally)."""
+    batch, height, width, channels = f1.shape
+    d_rad = max_displacement // stride2
+    disp = 2 * d_rad + 1
+    wp = _LANES  # width + 2*maxd padded up to one lane tile
+
+    # Pad (zeros, reference correlation_cuda.cc:36-42), transpose the channel
+    # dim in front of the column dim so row slabs are (C, Wp) matmul operands,
+    # and cast to bf16 — one fused XLA pass over f2.
+    f2p = jnp.pad(
+        f2.astype(jnp.bfloat16),
+        ((0, 0), (max_displacement, max_displacement),
+         (max_displacement, max_displacement),
+         (0, wp - width - 2 * max_displacement)))
+    f2pt = jnp.transpose(f2p, (0, 1, 3, 2))  # (B, Hp, C, Wp)
+    hp = height + 2 * max_displacement
+
+    kernel = functools.partial(_kernel, disp=disp, stride2=stride2,
+                               width=width)
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, height),
+        in_specs=[
+            pl.BlockSpec((1, 1, width, channels), lambda b, y: (b, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, channels, wp), lambda b, y: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, width, disp * disp),
+                               lambda b, y: (b, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, height, width, disp * disp),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * height * disp * width * wp * channels,
+            bytes_accessed=(f1.size + f2pt.size) * 2
+            + batch * height * width * disp * disp * 4,
+            transcendentals=0,
+        ),
+    )(f1.astype(jnp.bfloat16), f2pt)
+    return (out / channels).astype(f1.dtype)

@@ -1,0 +1,192 @@
+"""Caffe importer: wire-format parsing + mapping parity with the
+reference's param_utils (run directly on torch CPU, no pycaffe needed)."""
+
+import struct
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from flownet2_tpu.checkpoints import caffe_import
+
+
+# ---------------------------------------------------------------------------
+# protobuf encoder (test-side) — enough to synthesise caffemodels
+# ---------------------------------------------------------------------------
+
+def _varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _ld(field: int, payload: bytes) -> bytes:  # length-delimited
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _blob(arr: np.ndarray) -> bytes:
+    # BlobShape dims are field 1 varints (unpacked here)
+    shape = b"".join(_varint((1 << 3) | 0) + _varint(d) for d in arr.shape)
+    data = arr.astype("<f4").tobytes()
+    return _ld(7, shape) + _ld(5, data)
+
+
+def _layer_new(name: str, blobs) -> bytes:
+    payload = _ld(1, name.encode()) + _ld(2, b"Convolution")
+    for b in blobs:
+        payload += _ld(7, _blob(b))
+    return _ld(100, payload)
+
+
+def _layer_v1(name: str, blobs) -> bytes:
+    payload = _ld(4, name.encode())
+    for b in blobs:
+        payload += _ld(6, _blob(b))
+    return _ld(2, payload)
+
+
+class TestWireParser:
+    def test_roundtrip_both_formats(self, tmp_path, ):
+        rng = np.random.RandomState(0)
+        w = rng.randn(4, 3, 5, 5).astype(np.float32)
+        b = rng.randn(4).astype(np.float32)
+        for maker, tag in ((_layer_new, "new"), (_layer_v1, "v1")):
+            p = tmp_path / f"{tag}.caffemodel"
+            p.write_bytes(_ld(1, b"net") + maker("conv1", [w, b])
+                          + maker("nodata", []))
+            layers = caffe_import.read_caffemodel(p)
+            assert list(layers) == ["conv1"]
+            np.testing.assert_array_equal(layers["conv1"][0], w)
+            np.testing.assert_array_equal(layers["conv1"][1], b)
+
+    def test_empty_raises(self, tmp_path):
+        p = tmp_path / "empty.caffemodel"
+        p.write_bytes(_ld(1, b"net"))
+        with pytest.raises(ValueError, match="no parameter"):
+            caffe_import.read_caffemodel(p)
+
+    def test_model_name_from_path(self):
+        f = caffe_import.model_name_from_path
+        assert f("/m/FlowNet2/FlowNet2_weights.caffemodel") == "FlowNet2"
+        assert f("/m/FlowNet2-CSS-ft-sd/x.caffemodel") == "FlowNet2CSS"
+        assert f("/m/FlowNet2-S/x.caffemodel") == "FlowNet2S"
+        assert f("/m/elsewhere/x.caffemodel") is None
+
+
+def _reference_blobs(model, keys, rng):
+    """Random caffe-style {layer: [w, b]} shaped from a torch reference
+    model's conv/deconv modules in definition order."""
+    import torch.nn as nn
+    blobs = {}
+    mods = [m for m in model.modules()
+            if isinstance(m, (nn.Conv2d, nn.ConvTranspose2d))]
+    assert len(mods) == len(keys), (len(mods), len(keys))
+    for m, k in zip(mods, keys):
+        blobs[k] = [rng.randn(*m.weight.shape).astype(np.float32),
+                    rng.randn(m.weight.shape[0 if isinstance(m, nn.Conv2d)
+                                             else 1]).astype(np.float32)]
+    return blobs
+
+
+@pytest.fixture(scope="module")
+def reference():
+    """The torch reference with CUDA extension modules stubbed out."""
+    sys.path.insert(0, "/root/reference")
+    for mod in ("correlation_cuda", "resample2d_cuda", "channelnorm_cuda"):
+        sys.modules.setdefault(mod, types.ModuleType(mod))
+    import models as refmodels
+    import utils.param_utils as param_utils
+
+    class Args:
+        rgb_max = 255.0
+        fp16 = False
+        grads = {}
+
+    return refmodels, param_utils, Args()
+
+
+class TestMappingParity:
+    """caffe_to_state_dict must equal the reference param_utils parse
+    functions applied to a torch model (bit-for-bit)."""
+
+    def _compare(self, ref_model, parse_fn, keys, model_name, rng,
+                 tprefix=""):
+        blobs = _reference_blobs(ref_model, keys, rng)
+        parse_fn(ref_model.modules(),
+                 {k: v[0] for k, v in blobs.items()},
+                 {k: v[1] for k, v in blobs.items()})
+        want = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+        got = caffe_import.caffe_to_state_dict(
+            {k: [np.asarray(w) for w in v] for k, v in blobs.items()},
+            model_name)
+        assert set(got) == set(want), (
+            sorted(set(want) - set(got))[:5], sorted(set(got) - set(want))[:5])
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+    def test_flownets_only(self, reference):
+        refmodels, param_utils, args = reference
+        rng = np.random.RandomState(0)
+        m = refmodels.FlowNet2S(args)
+        keys = (["conv1", "conv2", "conv3", "conv3_1", "conv4", "conv4_1",
+                 "conv5", "conv5_1", "conv6", "conv6_1",
+                 "deconv5", "deconv4", "deconv3", "deconv2",
+                 "Convolution1", "Convolution2", "Convolution3",
+                 "Convolution4", "Convolution5",
+                 "upsample_flow6to5", "upsample_flow5to4",
+                 "upsample_flow4to3", "upsample_flow3to2"])
+        self._compare(m, param_utils.parse_flownetsonly, keys, "FlowNet2S",
+                      rng)
+
+    def test_flownetsd(self, reference):
+        refmodels, param_utils, args = reference
+        rng = np.random.RandomState(1)
+        m = refmodels.FlowNet2SD(args)
+        keys = (["conv0", "conv1", "conv1_1", "conv2", "conv2_1", "conv3",
+                 "conv3_1", "conv4", "conv4_1", "conv5", "conv5_1", "conv6",
+                 "conv6_1",
+                 "deconv5", "deconv4", "deconv3", "deconv2",
+                 "interconv5", "interconv4", "interconv3", "interconv2",
+                 "Convolution1", "Convolution2", "Convolution3",
+                 "Convolution4", "Convolution5",
+                 "upsample_flow6to5", "upsample_flow5to4",
+                 "upsample_flow4to3", "upsample_flow3to2"])
+        self._compare(m, param_utils.parse_flownetsd, keys, "FlowNet2SD",
+                      rng)
+
+    def test_variables_tree_matches_model(self, reference):
+        """Imported tree must match FlowNet2SD's expected structure."""
+        import jax
+        import jax.numpy as jnp
+        from flownet2_tpu import models
+        from flownet2_tpu.checkpoints.torch_import import (
+            assert_tree_matches, state_dict_to_variables)
+
+        refmodels, param_utils, args = reference
+        rng = np.random.RandomState(2)
+        m = refmodels.FlowNet2SD(args)
+        keys = (["conv0", "conv1", "conv1_1", "conv2", "conv2_1", "conv3",
+                 "conv3_1", "conv4", "conv4_1", "conv5", "conv5_1", "conv6",
+                 "conv6_1",
+                 "deconv5", "deconv4", "deconv3", "deconv2",
+                 "interconv5", "interconv4", "interconv3", "interconv2",
+                 "Convolution1", "Convolution2", "Convolution3",
+                 "Convolution4", "Convolution5",
+                 "upsample_flow6to5", "upsample_flow5to4",
+                 "upsample_flow4to3", "upsample_flow3to2"])
+        blobs = _reference_blobs(m, keys, rng)
+        variables = state_dict_to_variables(
+            caffe_import.caffe_to_state_dict(
+                {k: [np.asarray(w) for w in v] for k, v in blobs.items()},
+                "FlowNet2SD"),
+            "FlowNet2SD")
+        model = models.get_model("FlowNet2SD")
+        x = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+        expected = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+        assert_tree_matches(variables, expected)

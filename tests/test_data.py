@@ -194,3 +194,38 @@ def test_read_gen_png_rgba(tmp_path):
     Image.fromarray(rgba, "RGBA").save(tmp_path / "x.png")
     out = read_gen(tmp_path / "x.png")
     assert out.shape == (8, 8, 3)  # alpha dropped (frame_utils.py:10-13)
+
+
+def test_loader_native_matches_python(sintel_tree):
+    """The native whole-batch decode path must produce byte-identical
+    batches to per-sample __getitem__ decoding (center crop + flow)."""
+    from flownet2_tpu import native
+    if not native.available():
+        pytest.skip("native fileio not buildable")
+    ds_py = MpiSintelClean(root=str(sintel_tree), replicates=2)
+    ds_nat = MpiSintelClean(root=str(sintel_tree), replicates=2)
+    py = DataLoader(ds_py, batch_size=4, shuffle=True, seed=3,
+                    use_native=False)
+    nat = DataLoader(ds_nat, batch_size=4, shuffle=True, seed=3)
+    assert nat.use_native and not py.use_native
+    for bp, bn in zip(py, nat):
+        np.testing.assert_array_equal(bp.images, bn.images)
+        np.testing.assert_array_equal(bp.flow, bn.flow)
+
+
+def test_loader_native_random_crop(sintel_tree):
+    """Random-crop offsets are drawn from the dataset RNG in the same order
+    on both paths, so crops agree sample-for-sample."""
+    from flownet2_tpu import native
+    if not native.available():
+        pytest.skip("native fileio not buildable")
+    kw = dict(root=str(sintel_tree), replicates=2, is_cropped=True,
+              crop_size=(64, 128), seed=7)
+    # one worker: the per-sample path draws crop offsets sequentially
+    py = DataLoader(MpiSintelClean(**kw), batch_size=4, shuffle=False,
+                    use_native=False, num_workers=1)
+    nat = DataLoader(MpiSintelClean(**kw), batch_size=4, shuffle=False)
+    for bp, bn in zip(py, nat):
+        assert bn.images.shape == (4, 2, 64, 128, 3)
+        np.testing.assert_array_equal(bp.images, bn.images)
+        np.testing.assert_array_equal(bp.flow, bn.flow)

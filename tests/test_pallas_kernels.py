@@ -12,6 +12,8 @@ import pytest
 
 from jax.experimental.pallas import tpu as pltpu
 
+from flownet2_tpu.ops.correlation import _correlation_shifts
+from flownet2_tpu.ops import correlation_pallas
 from flownet2_tpu.ops.resample2d import _resample2d_bilinear_impl
 from flownet2_tpu.ops.resample2d_pallas import (
     resample2d_bilinear_pallas,
@@ -56,3 +58,36 @@ class TestResample2dPallas:
         assert not supported(ok, 1, False)         # nearest
         assert not supported(jnp.zeros((1, 16, 100, 3)), 1, True)  # W % 128
         assert not supported(ok.astype(jnp.bfloat16), 1, True)     # dtype
+
+
+class TestCorrelationPallas:
+    """Small config (maxd=4, s2=2 -> D=5) keeps the interpreter fast; the
+    real FlowNetC config (maxd=20 -> 441 ch) runs on hardware in bench.py,
+    where the kernel is bit-identical to the XLA mxu path (both feed the
+    MXU bf16)."""
+
+    B, H, W, C = 1, 8, 16, 8
+    MAXD, S2 = 4, 2
+
+    def test_matches_shifts(self):
+        f1 = _rand((self.B, self.H, self.W, self.C), 0)
+        f2 = _rand((self.B, self.H, self.W, self.C), 1)
+        want = np.asarray(_correlation_shifts(
+            f1, f2, self.MAXD, 1, self.MAXD, 1, self.S2))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(correlation_pallas.correlation_pallas(
+                f1, f2, self.MAXD, self.MAXD, self.S2))
+        assert got.shape == want.shape
+        # bf16 matmul operands: tolerance scaled to bf16 epsilon.
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+
+    def test_supported_gate(self):
+        ok = jnp.zeros((1, 16, 64, 32), jnp.float32)
+        assert correlation_pallas.supported(ok, 20, 1, 20, 1, 2)
+        assert not correlation_pallas.supported(ok, 20, 3, 20, 1, 2)  # K
+        assert not correlation_pallas.supported(ok, 20, 1, 20, 2, 2)  # s1
+        assert not correlation_pallas.supported(ok, 10, 1, 20, 1, 2)  # pad
+        wide = jnp.zeros((1, 16, 128, 32), jnp.float32)  # W + 2*maxd > 128
+        assert not correlation_pallas.supported(wide, 20, 1, 20, 1, 2)
+        big = jnp.zeros((1, 512, 64, 512), jnp.float32)  # VMEM residency
+        assert not correlation_pallas.supported(big, 20, 1, 20, 1, 2)
