@@ -173,7 +173,8 @@ def _net_table(kind: str, caffe_prefix: str) -> List[Tuple[str, str, bool]]:
     """[(caffe_key, torch_module, is_sequential)] for one sub-network.
 
     ``is_sequential`` marks modules whose torch key carries a ``.0`` index
-    (conv()/i_conv()/deconv() Sequentials — submodules.py:7-38).
+    (conv()/i_conv()/deconv() Sequentials — submodules.py:7-38); ``None``
+    means bare module name AND no bias parameter in the torch model.
     """
     p = caffe_prefix
     t: List[Tuple[str, str, bool]] = []
@@ -187,12 +188,15 @@ def _net_table(kind: str, caffe_prefix: str) -> List[Tuple[str, str, bool]]:
         t += [(p + k, k, True) for k in _DECONVS]
         t += [(p + f"predict_conv{i}", f"predict_flow{i}", False)
               for i in (6, 5, 4, 3, 2)]
-        t += [(p + p + ck, m, False) for ck, m in _UPS]
+        # FlowNetS upsample deconvs are bias=False (FlowNetS.py:42-45);
+        # param_utils skips the caffe bias via `m.bias is not None`
+        # (param_utils.py:99-100) — mirror with the no-bias marker.
+        t += [(p + p + ck, m, None) for ck, m in _UPS]
     elif kind == "S_only":  # standalone FlowNet2-S (Convolution* keys)
         t += [(p + k, k, True) for k in _S_CONVS]
         t += [(p + k, k, True) for k in _DECONVS]
         t += [(p + ck, m, False) for ck, m in _PREDICTS]
-        t += [(p + p + ck, m, False) for ck, m in _UPS]
+        t += [(p + p + ck, m, None) for ck, m in _UPS]
     elif kind == "SD":
         t += [(p + k, k, True) for k in _SD_CONVS]
         t += [(p + k, k, True) for k in _DECONVS]
@@ -276,7 +280,7 @@ def caffe_to_state_dict(layers: Dict[str, List[np.ndarray]],
                     weight[:, lo:hi] = weight[:, lo:hi][:, ::-1]
             mid = f"{module}.0" if is_seq else module
             state[f"{tprefix}{mid}.weight"] = weight
-            if len(blobs) > 1 and blobs[1].size:
+            if is_seq is not None and len(blobs) > 1 and blobs[1].size:
                 state[f"{tprefix}{mid}.bias"] = np.asarray(blobs[1], np.float32)
     return state
 

@@ -157,8 +157,11 @@ class TestMappingParity:
                  "Convolution4", "Convolution5",
                  "upsample_flow6to5", "upsample_flow5to4",
                  "upsample_flow4to3", "upsample_flow3to2"])
-        self._compare(m, param_utils.parse_flownetsd, keys, "FlowNet2SD",
-                      rng)
+        # standalone SD conversion uses param_prefix='' (convert.py:127)
+        self._compare(
+            m,
+            lambda *a: param_utils.parse_flownetsd(*a, param_prefix=""),
+            keys, "FlowNet2SD", rng)
 
     def test_variables_tree_matches_model(self, reference):
         """Imported tree must match FlowNet2SD's expected structure."""
