@@ -1,17 +1,24 @@
 """Benchmark: FlowNet2 inference frames/s/chip at 384x512 (BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio against a fixed first-measurement anchor once recorded; until then 1.0.
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
+ratio against the first recorded measurement, persisted in
+``BENCH_ANCHOR.json`` at the repo root (created on first run).
 
-Extra sub-metrics (per-model fps, train step/s) go to stderr for tracking.
+Extra sub-metrics go to stderr: per-model inference fps (fp32 + bf16) and
+FlowNet2C / FlowNet2 train step/s (the reference's primary mode,
+/root/reference/main.py:246-340).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_ANCHOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_ANCHOR.json")
 
 
 def time_chained(apply, variables, images, iters=30, warmup=3):
@@ -48,6 +55,47 @@ def time_chained(apply, variables, images, iters=30, warmup=3):
     return max((total - overhead) / (iters - 1), 1e-9)
 
 
+def time_train_step(step, state, images, flow, iters=15, warmup=3):
+    """Time a jitted train step; steps chain naturally through the state,
+    one loss fetch at the end syncs the chain."""
+    def run(n, st):
+        m = None
+        for _ in range(n):
+            st, m = step(st, images, flow)
+        _ = float(m["loss"])
+        return st
+
+    st = run(warmup, state)
+    t0 = time.perf_counter()
+    st = run(1, st)
+    overhead = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    st = run(iters, st)
+    total = time.perf_counter() - t0
+    return max((total - overhead) / (iters - 1), 1e-9)
+
+
+def bench_train(name, batch, h, w, results):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from flownet2_tpu.losses import MultiScale
+    from flownet2_tpu.models import get_model
+    from flownet2_tpu.train.state import StepFactory
+
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(batch, 2, h, w, 3).astype(np.float32) * 255.0)
+    flow = jnp.asarray(rng.rand(batch, h, w, 2).astype(np.float32) * 5.0)
+    factory = StepFactory(model=get_model(name), loss_fn=MultiScale(),
+                          tx=optax.adam(1e-4))
+    state = factory.init_state(jax.random.PRNGKey(0), images)
+    dt = time_train_step(factory.train_step(), state, images, flow)
+    results[f"{name}-train"] = batch / dt
+    print(f"{name} train: {dt*1e3:.2f} ms/step b{batch} @ {h}x{w} "
+          f"-> {batch/dt:.1f} frames/s", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -64,11 +112,15 @@ def main():
 
     results = {}
     t_start = time.perf_counter()
-    budget_s = float(__import__("os").environ.get("BENCH_BUDGET_S", 1800))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1800))
+
+    def budget_left():
+        return budget_s - (time.perf_counter() - t_start)
+
     for name, kwargs in (("FlowNet2", {}), ("FlowNet2S", {}),
                          ("FlowNet2C", {}),
                          ("FlowNet2-bf16", {"dtype": jnp.bfloat16})):
-        if name != "FlowNet2" and time.perf_counter() - t_start > budget_s:
+        if name != "FlowNet2" and budget_left() < 120:
             print(f"{name}: skipped (budget)", file=sys.stderr)
             continue
         try:
@@ -83,12 +135,36 @@ def main():
         except Exception as e:  # keep the headline JSON alive
             print(f"{name}: FAILED {e}", file=sys.stderr)
 
-    value = results.get("FlowNet2", 0.0)
+    # Train-step sub-metrics (width 448: divisible by 64, fits VMEM paths).
+    for name, need in (("FlowNet2C", 120), ("FlowNet2", 400)):
+        if budget_left() < need:
+            print(f"{name} train: skipped (budget)", file=sys.stderr)
+            continue
+        try:
+            bench_train(name, batch, 384, 448, results)
+        except Exception as e:
+            print(f"{name} train: FAILED {e}", file=sys.stderr)
+
+    value = round(results.get("FlowNet2", 0.0), 2)
+    vs_baseline = 1.0
+    try:
+        if os.path.exists(_ANCHOR_PATH):
+            anchor = json.load(open(_ANCHOR_PATH))["value"]
+            if anchor > 0:
+                vs_baseline = round(value / anchor, 3)
+        elif value > 0:
+            with open(_ANCHOR_PATH, "w") as f:
+                json.dump({"metric": "flownet2_inference_fps_384x512_b8_fp32",
+                           "value": value,
+                           "recorded": "first bench.py measurement"}, f)
+    except Exception as e:
+        print(f"anchor handling failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "flownet2_inference_fps_384x512_b8_fp32",
-        "value": round(value, 2),
+        "value": value,
         "unit": "frames/s/chip",
-        "vs_baseline": 1.0,
+        "vs_baseline": vs_baseline,
     }))
 
 

@@ -221,7 +221,7 @@ def _corr_bwd(pad_size, kernel_size, max_displacement, stride1, stride2,
       d_f2[y2, x2] += g[y2 - dy, x2 - dx, d] * f1[y2 - dy, x2 - dx] / C
     implemented with pads + slices so XLA fuses the whole bundle.
     """
-    del corr_multiply, impl
+    del corr_multiply
     f1, f2 = res
     batch, height, width, channels = f1.shape
     d_rad = max_displacement // stride2
@@ -233,6 +233,17 @@ def _corr_bwd(pad_size, kernel_size, max_displacement, stride1, stride2,
                                        max_displacement, stride1, stride2)
         _, vjp = jax.vjp(fwd, f1, f2)
         return vjp(g)
+
+    # TPU fast path: banded-matmul Pallas backward kernels (the equivalents
+    # of correlation_cuda_kernel.cu:150-334's dedicated backward kernels).
+    from . import correlation_pallas
+    if (impl or _DEFAULT_IMPL) == "pallas" \
+            and jax.default_backend() == "tpu" \
+            and correlation_pallas.supported_bwd(
+                f1, pad_size, kernel_size, max_displacement, stride1, stride2):
+        d_f1, d_f2 = correlation_pallas.correlation_pallas_bwd(
+            g, f1, f2, pad_size, max_displacement, stride2)
+        return d_f1.astype(f1.dtype), d_f2.astype(f2.dtype)
 
     nelems = float(channels)
     maxd = max_displacement

@@ -80,6 +80,166 @@ def _kernel(f1_ref, f2_ref, out_ref, *, disp, stride2, width):
         out_ref[0, 0, :, t * disp:(t + 1) * disp] = band[:, :disp]
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _f2pt(f2: jax.Array, max_displacement: int, wp: int) -> jax.Array:
+    """Zero-pad f2 spatially by ``max_displacement`` (reference
+    correlation_cuda.cc:36-42), top up the column dim to ``wp`` lanes with
+    zeros, and transpose the channel dim in front of the columns so row
+    slabs are (C, Wp) matmul operands — one fused XLA pass over f2.
+
+    The column top-up must be real zeros (not implicit block padding): the
+    backward kernels contract over all ``wp`` lanes, so out-of-bounds
+    garbage there would corrupt (or NaN) the gradient."""
+    _, _, width, _ = f2.shape
+    f2p = jnp.pad(
+        f2.astype(jnp.bfloat16),
+        ((0, 0), (max_displacement, max_displacement),
+         (max_displacement, wp - width - max_displacement),
+         (0, 0)))
+    return jnp.transpose(f2p, (0, 1, 3, 2))  # (B, Hp, C, Wp)
+
+
+def supported_bwd(f1: jax.Array, pad_size: int, kernel_size: int,
+                  max_displacement: int, stride1: int, stride2: int) -> bool:
+    """The backward kernels additionally keep g (B,H,W,D^2) and f1 resident
+    in VMEM per batch item (for the d_f2 pass)."""
+    if not supported(f1, pad_size, kernel_size, max_displacement, stride1,
+                     stride2):
+        return False
+    _, height, width, channels = f1.shape
+    disp = 2 * (max_displacement // stride2) + 1
+    g_lanes = _round_up(disp * disp, _LANES)
+    resident = height * width * (g_lanes + channels) * 2  # bf16
+    return resident <= _VMEM_BUDGET
+
+
+def _bwd_f1_kernel(g_ref, f2_ref, out_ref, *, disp, stride2, width, channels):
+    """d_f1 row y:  d_f1[x, c] = 1/C * sum_t G_t[x, :] . f2p[y + t*s2, c, :]
+    where G_t[x, v] = g[y, x, t*D + (v-x)/s2] on the band v-x in
+    {0, s2, ..., 2*maxd}, zero elsewhere — the transpose of the forward's
+    band *gather* is a band *scatter*, expressed as a masked lane-gather from
+    the (W, D) g-slice so it stays a dense MXU matmul
+    (mirrors correlation_cuda_kernel.cu:150-239, gradInput1)."""
+    y = pl.program_id(1)
+    wp = f2_ref.shape[-1]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (width, wp), 0)
+    vs = jax.lax.broadcasted_iota(jnp.int32, (width, wp), 1)
+    off = vs - xs
+    valid = (off >= 0) & (off <= (disp - 1) * stride2) & (off % stride2 == 0)
+    idx = jnp.clip(off // stride2, 0, wp - 1)
+    acc = jnp.zeros((width, channels), jnp.float32)
+    for t in range(disp):
+        gt = g_ref[0, 0, :, t * disp:(t + 1) * disp]          # (W, D)
+        # Mosaic's lane dynamic-gather needs index/result bitwidths to match,
+        # so gather in f32 and cast the band back for the bf16 matmul.
+        gtp = jnp.pad(gt.astype(jnp.float32), ((0, 0), (0, wp - disp)))
+        band = jnp.where(valid, jnp.take_along_axis(gtp, idx, axis=1),
+                         0.0).astype(g_ref.dtype)             # (W, Wp)
+        slab = f2_ref[0, y + t * stride2]                     # (C, Wp)
+        acc = acc + jax.lax.dot_general(
+            band, slab, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0, 0] = acc / channels
+
+
+def _bwd_f2_kernel(g_ref, f1_ref, out_ref, *, disp, stride2, maxd, height,
+                   width, channels):
+    """d_f2 row y2: d_f2[x2, c] = 1/C * sum_t B_t^T . f1[y, :, c] with
+    y = y2 + maxd - t*s2 and B_t[x, x2] = g[y, x, t*D + (x2+maxd-x)/s2] on
+    the band |x2-x| <= maxd — the displacement-reversed gather of
+    correlation_cuda_kernel.cu:242-334 (gradInput2), as an MXU matmul."""
+    y2 = pl.program_id(1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (width, _LANES), 0)
+    x2s = jax.lax.broadcasted_iota(jnp.int32, (width, _LANES), 1)
+    off = x2s + maxd - xs
+    valid = ((off >= 0) & (off <= 2 * maxd) & (off % stride2 == 0)
+             & (x2s < width))
+    idx = jnp.clip(off // stride2, 0, _LANES - 1)
+    acc = jnp.zeros((_LANES, channels), jnp.float32)
+    for t in range(disp):
+        y = y2 + maxd - t * stride2
+        yc = jnp.clip(y, 0, height - 1)
+        inrow = ((y >= 0) & (y < height)).astype(g_ref.dtype)
+        grow = g_ref[0, yc]                                    # (W, D*D)
+        gt = grow[:, t * disp:(t + 1) * disp] * inrow          # (W, D)
+        gtp = jnp.pad(gt.astype(jnp.float32), ((0, 0), (0, _LANES - disp)))
+        band = jnp.where(valid, jnp.take_along_axis(gtp, idx, axis=1),
+                         0.0).astype(g_ref.dtype)              # (W, 128)
+        f1row = f1_ref[0, yc]                                  # (W, C)
+        acc = acc + jax.lax.dot_general(
+            band, f1row, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (128, C)
+    out_ref[0, 0] = acc[:width] / channels
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad_size", "max_displacement", "stride2"))
+def correlation_pallas_bwd(g: jax.Array, f1: jax.Array, f2: jax.Array,
+                           pad_size: int, max_displacement: int,
+                           stride2: int):
+    """Backward correlation: cotangent g (B, H, W, D*D) -> (d_f1, d_f2),
+    both (B, H, W, C) f32.  Matmul operands are bf16 (same policy as the
+    forward kernel and XLA's default f32 matmul precision on TPU);
+    accumulation is f32."""
+    batch, height, width, channels = f1.shape
+    d_rad = max_displacement // stride2
+    disp = 2 * d_rad + 1
+    wp = _LANES
+
+    f2pt = _f2pt(f2, max_displacement, wp)
+    hp = height + 2 * max_displacement
+    gb = g.astype(jnp.bfloat16)
+    f1b = f1.astype(jnp.bfloat16)
+
+    flops = 2 * batch * height * disp * width * wp * channels
+    d_f1 = pl.pallas_call(
+        functools.partial(_bwd_f1_kernel, disp=disp, stride2=stride2,
+                          width=width, channels=channels),
+        grid=(batch, height),
+        in_specs=[
+            pl.BlockSpec((1, 1, width, disp * disp), lambda b, y: (b, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, channels, wp), lambda b, y: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, width, channels),
+                               lambda b, y: (b, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, height, width, channels),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(gb.size + f2pt.size + f1.size * 2),
+            transcendentals=0),
+    )(gb, f2pt)
+
+    d_f2 = pl.pallas_call(
+        functools.partial(_bwd_f2_kernel, disp=disp, stride2=stride2,
+                          maxd=max_displacement, height=height, width=width,
+                          channels=channels),
+        grid=(batch, height),
+        in_specs=[
+            pl.BlockSpec((1, height, width, disp * disp),
+                         lambda b, y: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, height, width, channels),
+                         lambda b, y: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, width, channels),
+                               lambda b, y: (b, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, height, width, channels),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(gb.size + f1b.size + f1.size * 2),
+            transcendentals=0),
+    )(gb, f1b)
+    return d_f1, d_f2
+
+
 @functools.partial(jax.jit,
                    static_argnames=("pad_size", "max_displacement", "stride2"))
 def correlation_pallas(f1: jax.Array, f2: jax.Array, pad_size: int,
@@ -94,12 +254,7 @@ def correlation_pallas(f1: jax.Array, f2: jax.Array, pad_size: int,
     # Pad (zeros, reference correlation_cuda.cc:36-42), transpose the channel
     # dim in front of the column dim so row slabs are (C, Wp) matmul operands,
     # and cast to bf16 — one fused XLA pass over f2.
-    f2p = jnp.pad(
-        f2.astype(jnp.bfloat16),
-        ((0, 0), (max_displacement, max_displacement),
-         (max_displacement, max_displacement),
-         (0, wp - width - 2 * max_displacement)))
-    f2pt = jnp.transpose(f2p, (0, 1, 3, 2))  # (B, Hp, C, Wp)
+    f2pt = _f2pt(f2, max_displacement, wp)
     hp = height + 2 * max_displacement
 
     kernel = functools.partial(_kernel, disp=disp, stride2=stride2,

@@ -126,16 +126,17 @@ def resample2d(img: jax.Array, flow: jax.Array, kernel_size: int = 1,
       bilinear: bilinear vs nearest sampling.
     """
     if bilinear:
-        if img.dtype == jnp.bfloat16:
-            # warp in f32 (cheap: 3-channel images), return bf16 — keeps the
-            # Pallas fast path and avoids bf16 coordinate precision loss
-            return resample2d(img.astype(jnp.float32),
-                              flow.astype(jnp.float32),
-                              kernel_size, bilinear).astype(jnp.bfloat16)
         if _pallas_enabled(img, kernel_size, bilinear):
+            # The kernel handles bf16 planes natively (coordinates stay f32).
             from .resample2d_pallas import resample2d_bilinear_pallas
 
             return resample2d_bilinear_pallas(img, flow)
+        if img.dtype == jnp.bfloat16:
+            # XLA fallback: warp in f32 (cheap: 3-channel images), return
+            # bf16 — avoids bf16 coordinate precision loss
+            return _resample2d_bilinear_impl(
+                img.astype(jnp.float32), flow.astype(jnp.float32),
+                kernel_size).astype(jnp.bfloat16)
         return _resample2d_bilinear_impl(img, flow, kernel_size)
     return _resample2d_nearest_impl(img, flow, kernel_size)
 
@@ -176,6 +177,16 @@ def _resample2d_bwd(kernel_size, bilinear, res, g):
     def scatter(acc, yi, xi, w):
         return jax.vmap(lambda zi, y, x, gg: zi.at[y, x].add(gg))(acc, yi, xi, w * g)
 
+    # TPU fast path for the flow gradient — the hot cotangent in the FlowNet2
+    # cascade (the image operand of every warp is a network *input*, so its
+    # scatter-add gradient below is dead code XLA removes; the flow gradient
+    # feeds the upstream nets and must be fast).
+    use_pallas_dflow = _pallas_enabled(img, kernel_size, bilinear)
+    if use_pallas_dflow:
+        from .resample2d_pallas import resample2d_grad_flow_pallas
+
+        d_flow_pallas = resample2d_grad_flow_pallas(g, img, flow)
+
     for fy in range(kernel_size):
         for fx in range(kernel_size):
             yTs = jnp.minimum(yT + fy, height - 1) if fy else yT
@@ -188,6 +199,9 @@ def _resample2d_bwd(kernel_size, bilinear, res, g):
             d_img = scatter(d_img, yBs, xLs, (1 - a) * b)
             d_img = scatter(d_img, yBs, xRs, a * b)
 
+            if use_pallas_dflow:
+                continue
+
             iTL = _corner_gather(img, yTs, xLs)
             iTR = _corner_gather(img, yTs, xRs)
             iBL = _corner_gather(img, yBs, xLs)
@@ -199,7 +213,10 @@ def _resample2d_bwd(kernel_size, bilinear, res, g):
             d_dy = d_dy + jnp.sum(
                 gd * ((1 - a) * (iBL - iTL) + a * (iBR - iTR)), axis=-1)
 
-    d_flow = jnp.stack([d_dx, d_dy], axis=-1).astype(flow.dtype)
+    if use_pallas_dflow:
+        d_flow = d_flow_pallas.astype(flow.dtype)
+    else:
+        d_flow = jnp.stack([d_dx, d_dy], axis=-1).astype(flow.dtype)
     return d_img, d_flow
 
 

@@ -1,22 +1,34 @@
-"""Pallas TPU kernel for bilinear flow warping (resample2d forward).
+"""Pallas TPU kernels for bilinear flow warping (resample2d fwd + flow-grad).
 
 Why: XLA lowers the per-pixel 2D gather to a scalar loop on TPU (~46 ms for
 (8, 384, 512, 3) — measured), which made the 4 warps dominate FlowNet2
-inference.  Mosaic's hardware dynamic-gather works within a single (8, 128)
-VMEM tile (sublane- or lane-wise), so this kernel composes the full gather
-out of tile-local gathers:
+inference, and the backward's corner gathers dominate FlowNet2 training.
+Mosaic's hardware dynamic-gather works within a single (8, 128) VMEM tile
+(sublane- or lane-wise), so these kernels compose the full gather out of
+tile-local gathers:
 
   for each (8, 128) tile of output pixels:
-    compute source coords (xf, yf), corner indices and lerp weights;
+    compute source coords (xf, yf), corner indices and lerp weights ONCE
+    (shared across channels — image channels are resident per batch item);
     reduce min/max of the corner indices -> the set of (8-row x 128-col)
     source blocks actually touched (data-dependent, usually 1-4 blocks
     because flow fields are smooth);
     loop (dynamic trip count) over just those blocks:
-      slice the block from the VMEM-resident image plane (dynamic offsets,
+      slice the block from the VMEM-resident image planes (dynamic offsets,
       static size);
-      for each of its 8 source rows: broadcast the row, lane-gather at the
-      xL/xR indices, and select-accumulate where (row, column-block) match
-      the corner index.
+      for each of its 8 source rows (static unroll): broadcast the row,
+      lane-gather at the xL/xR indices per channel, and select-accumulate
+      where (row, column-block) match the corner index.
+
+Forward accumulates  w_corner * img[corner];  the flow-gradient kernel
+accumulates the analytic bilinear derivative instead (the TPU equivalent of
+resample2d_kernel.cu:127-198, kernel_resample2d_backward_input2):
+
+  d/d_dx = sum_c g_c * ((1-b)(iTR - iTL) + b(iBR - iBL))
+  d/d_dy = sum_c g_c * ((1-a)(iBL - iTL) + a(iBR - iTR))
+
+expressed per corner as coefficient pairs so both accumulate in the same
+hit-select pass as the forward.
 
 Worst-case (adversarial flow spanning the whole image) degrades to a full
 block sweep but stays exact; typical flows touch 1-2 row blocks and 1-2
@@ -24,9 +36,12 @@ column blocks.  Semantics identical to ops.resample2d bilinear K=1
 (reference resample2d_kernel.cu:43-63): clamped corner indices, weights not
 renormalised at borders.
 
-Layout: the NHWC image is transposed to (B*C, H, W) planes so the kernel
-works on native f32 (8, 128) tiles; requires H % 8 == 0 and W % 128 == 0
-(the /64 input rule gives H; callers fall back to the XLA path otherwise).
+Layout: the NHWC image/cotangent are transposed to (B, C, H, W) planes so
+the kernels work on native (8, 128) tiles with the channel loop inside
+(index math shared); requires H % 8 == 0 and W % 128 == 0 (the /64 input
+rule gives H; callers fall back to the XLA path otherwise).  Coordinates
+are always f32; image planes may be f32 or bf16 (gathered values are
+upcast after the gather, so bf16 warps need no XLA-level upcast).
 """
 
 from __future__ import annotations
@@ -39,20 +54,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TH, _TW = 8, 128
+_VMEM_RESIDENT_BUDGET = 8 * 1024 * 1024
 
 
 def supported(img: jax.Array, kernel_size: int, bilinear: bool) -> bool:
-    _, h, w, _ = img.shape
-    return (bilinear and kernel_size == 1 and img.dtype == jnp.float32
-            and h % _TH == 0 and w % _TW == 0)
+    _, h, w, c = img.shape
+    resident = h * w * c * img.dtype.itemsize
+    return (bilinear and kernel_size == 1
+            and img.dtype in (jnp.float32, jnp.bfloat16)
+            and h % _TH == 0 and w % _TW == 0
+            and resident <= _VMEM_RESIDENT_BUDGET)
 
 
-def _kernel(dx_ref, dy_ref, img_ref, out_ref, *, height, width):
-    r = pl.program_id(1)
-    c = pl.program_id(2)
-
-    dx = dx_ref[0]
-    dy = dy_ref[0]
+def _coords(dx, dy, r, c, height, width):
+    """Shared coordinate math: corner indices + lerp weights for one tile."""
     xs = (jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1)
           + c * _TW).astype(jnp.float32)
     ys = (jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0)
@@ -67,12 +82,13 @@ def _kernel(dx_ref, dy_ref, img_ref, out_ref, *, height, width):
     xR = jnp.clip(x0.astype(jnp.int32) + 1, 0, width - 1)
     yT = jnp.clip(y0.astype(jnp.int32), 0, height - 1)
     yB = jnp.clip(y0.astype(jnp.int32) + 1, 0, height - 1)
+    return a, b, xL, xR, yT, yB
 
-    wTL = (1 - a) * (1 - b)
-    wTR = a * (1 - b)
-    wBL = (1 - a) * b
-    wBR = a * b
 
+def _block_sweep(img_ref, channels, xL, xR, yT, yB, accum_fn, init):
+    """Loop over the source blocks any corner touches; call ``accum_fn`` for
+    every (channel, source-row) with the lane-gathered L/R values and hit
+    masks.  ``init`` is a pytree of (TH, TW) f32 accumulators."""
     rb_lo = jnp.min(yT) // _TH
     rb_hi = jnp.max(yB) // _TH
     cb_lo = jnp.min(xL) // _TW
@@ -80,63 +96,162 @@ def _kernel(dx_ref, dy_ref, img_ref, out_ref, *, height, width):
 
     def rb_body(rb, acc):
         def cb_body(cb, acc):
-            tile = img_ref[0, pl.ds(rb * _TH, _TH), pl.ds(cb * _TW, _TW)]
             xLl = jnp.clip(xL - cb * _TW, 0, _TW - 1)
             xRl = jnp.clip(xR - cb * _TW, 0, _TW - 1)
             okL = (xL >= cb * _TW) & (xL < (cb + 1) * _TW)
             okR = (xR >= cb * _TW) & (xR < (cb + 1) * _TW)
-
-            def s_body(s, acc):
-                # broadcast source row s to all sublanes via a constant-index
-                # sublane gather (dynamic_slice of values isn't lowerable)
-                row = jnp.take_along_axis(
-                    tile, jnp.full((_TH, _TW), s, jnp.int32), axis=0)
-                gL = jnp.take_along_axis(row, xLl, axis=1)
-                gR = jnp.take_along_axis(row, xRl, axis=1)
-                srow = rb * _TH + s
-                hitT = yT == srow
-                hitB = yB == srow
-                acc = acc + jnp.where(hitT & okL, wTL * gL, 0.0)
-                acc = acc + jnp.where(hitT & okR, wTR * gR, 0.0)
-                acc = acc + jnp.where(hitB & okL, wBL * gL, 0.0)
-                acc = acc + jnp.where(hitB & okR, wBR * gR, 0.0)
-                return acc
-
-            return jax.lax.fori_loop(0, _TH, s_body, acc, unroll=True)
+            for ch in range(channels):  # static unroll
+                tile = img_ref[0, ch, pl.ds(rb * _TH, _TH),
+                               pl.ds(cb * _TW, _TW)].astype(jnp.float32)
+                for s in range(_TH):  # static unroll
+                    row = jnp.broadcast_to(tile[s:s + 1], (_TH, _TW))
+                    gL = jnp.take_along_axis(row, xLl, axis=1)
+                    gR = jnp.take_along_axis(row, xRl, axis=1)
+                    srow = rb * _TH + s
+                    hitT = yT == srow
+                    hitB = yB == srow
+                    acc = accum_fn(acc, ch, gL, gR, hitT & okL, hitT & okR,
+                                   hitB & okL, hitB & okR)
+            return acc
 
         return jax.lax.fori_loop(cb_lo, cb_hi + 1, cb_body, acc)
 
-    acc = jax.lax.fori_loop(rb_lo, rb_hi + 1, rb_body,
-                            jnp.zeros((_TH, _TW), jnp.float32))
-    out_ref[0] = acc
+    return jax.lax.fori_loop(rb_lo, rb_hi + 1, rb_body, init)
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _fwd_kernel(dx_ref, dy_ref, img_ref, out_ref, *, height, width, channels):
+    r = pl.program_id(1)
+    c = pl.program_id(2)
+    a, b, xL, xR, yT, yB = _coords(dx_ref[0], dy_ref[0], r, c, height, width)
+    wTL = (1 - a) * (1 - b)
+    wTR = a * (1 - b)
+    wBL = (1 - a) * b
+    wBR = a * b
+
+    def accum(acc, ch, gL, gR, mTL, mTR, mBL, mBR):
+        acc_ch = acc[ch]
+        acc_ch = acc_ch + jnp.where(mTL, wTL * gL, 0.0)
+        acc_ch = acc_ch + jnp.where(mTR, wTR * gR, 0.0)
+        acc_ch = acc_ch + jnp.where(mBL, wBL * gL, 0.0)
+        acc_ch = acc_ch + jnp.where(mBR, wBR * gR, 0.0)
+        return acc[:ch] + [acc_ch] + acc[ch + 1:]
+
+    init = [jnp.zeros((_TH, _TW), jnp.float32) for _ in range(channels)]
+    acc = _block_sweep(img_ref, channels, xL, xR, yT, yB, accum, init)
+    for ch in range(channels):
+        out_ref[0, ch] = acc[ch].astype(out_ref.dtype)
+
+
+def _grad_flow_kernel(dx_ref, dy_ref, img_ref, g_ref, ddx_ref, ddy_ref, *,
+                      height, width, channels):
+    r = pl.program_id(1)
+    c = pl.program_id(2)
+    a, b, xL, xR, yT, yB = _coords(dx_ref[0], dy_ref[0], r, c, height, width)
+    # Per-corner (d/d_dx, d/d_dy) coefficients of the bilinear weight
+    # (resample2d_kernel.cu:127-198 analytic derivative).
+    cxTL, cyTL = -(1 - b), -(1 - a)
+    cxTR, cyTR = (1 - b), -a
+    cxBL, cyBL = -b, (1 - a)
+    cxBR, cyBR = b, a
+
+    gch = [g_ref[0, ch].astype(jnp.float32) for ch in range(channels)]
+
+    def accum(acc, ch, gL, gR, mTL, mTR, mBL, mBR):
+        acc_dx, acc_dy = acc
+        tTL = jnp.where(mTL, gch[ch] * gL, 0.0)
+        tTR = jnp.where(mTR, gch[ch] * gR, 0.0)
+        tBL = jnp.where(mBL, gch[ch] * gL, 0.0)
+        tBR = jnp.where(mBR, gch[ch] * gR, 0.0)
+        acc_dx = acc_dx + cxTL * tTL + cxTR * tTR + cxBL * tBL + cxBR * tBR
+        acc_dy = acc_dy + cyTL * tTL + cyTR * tTR + cyBL * tBL + cyBR * tBR
+        return acc_dx, acc_dy
+
+    init = (jnp.zeros((_TH, _TW), jnp.float32),
+            jnp.zeros((_TH, _TW), jnp.float32))
+    acc_dx, acc_dy = _block_sweep(img_ref, channels, xL, xR, yT, yB, accum,
+                                  init)
+    ddx_ref[0] = acc_dx
+    ddy_ref[0] = acc_dy
+
+
+def _planes(x):
+    """(B, H, W, C) -> (B, C, H, W)."""
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+@jax.jit
 def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
-    """Forward bilinear warp; img (B, H, W, C) f32, flow (B, H, W, 2)."""
+    """Forward bilinear warp; img (B, H, W, C) f32/bf16, flow (B, H, W, 2)."""
     batch, height, width, channels = img.shape
-    planes = jnp.transpose(img, (0, 3, 1, 2)).reshape(
-        batch * channels, height, width)
+    planes = _planes(img)
     dx = flow[..., 0].astype(jnp.float32)
     dy = flow[..., 1].astype(jnp.float32)
 
-    grid = (batch * channels, height // _TH, width // _TW)
-    kernel = functools.partial(_kernel, height=height, width=width)
+    grid = (batch, height // _TH, width // _TW)
+    kernel = functools.partial(_fwd_kernel, height=height, width=width,
+                               channels=channels)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _TH, _TW), lambda bc, r, c, C=channels:
-                         (bc // C, r, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TH, _TW), lambda bc, r, c, C=channels:
-                         (bc // C, r, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, height, width), lambda bc, r, c: (bc, 0, 0),
+            pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, channels, height, width),
+                         lambda b, r, c: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TH, _TW), lambda bc, r, c: (bc, r, c),
+        out_specs=pl.BlockSpec((1, channels, _TH, _TW),
+                               lambda b, r, c: (b, 0, r, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch * channels, height, width),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, channels, height, width),
+                                       img.dtype),
     )(dx, dy, planes)
-    return jnp.transpose(
-        out.reshape(batch, channels, height, width), (0, 2, 3, 1))
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+@jax.jit
+def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
+                                flow: jax.Array) -> jax.Array:
+    """Flow gradient of the bilinear warp.
+
+    g: (B, H, W, C) cotangent of the warp output; img, flow as forward.
+    Returns (B, H, W, 2) f32.
+    """
+    batch, height, width, channels = img.shape
+    planes = _planes(img)
+    gplanes = _planes(g)
+    dx = flow[..., 0].astype(jnp.float32)
+    dy = flow[..., 1].astype(jnp.float32)
+
+    grid = (batch, height // _TH, width // _TW)
+    kernel = functools.partial(_grad_flow_kernel, height=height, width=width,
+                               channels=channels)
+    ddx, ddy = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, channels, height, width),
+                         lambda b, r, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, channels, _TH, _TW),
+                         lambda b, r, c: (b, 0, r, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, height, width), jnp.float32),
+            jax.ShapeDtypeStruct((batch, height, width), jnp.float32),
+        ),
+    )(dx, dy, planes, gplanes)
+    return jnp.stack([ddx, ddy], axis=-1)

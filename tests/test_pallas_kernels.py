@@ -14,9 +14,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flownet2_tpu.ops.correlation import _correlation_shifts
 from flownet2_tpu.ops import correlation_pallas
-from flownet2_tpu.ops.resample2d import _resample2d_bilinear_impl
+from flownet2_tpu.ops.resample2d import (
+    _resample2d_bilinear_impl,
+    _resample2d_bwd,
+)
 from flownet2_tpu.ops.resample2d_pallas import (
     resample2d_bilinear_pallas,
+    resample2d_grad_flow_pallas,
     supported,
 )
 
@@ -54,10 +58,46 @@ class TestResample2dPallas:
     def test_supported_gate(self):
         ok = jnp.zeros((1, 16, 128, 3), jnp.float32)
         assert supported(ok, 1, True)
+        assert supported(ok.astype(jnp.bfloat16), 1, True)  # bf16 planes ok
         assert not supported(ok, 2, True)          # tap window
         assert not supported(ok, 1, False)         # nearest
         assert not supported(jnp.zeros((1, 16, 100, 3)), 1, True)  # W % 128
-        assert not supported(ok.astype(jnp.bfloat16), 1, True)     # dtype
+        assert not supported(ok.astype(jnp.int32), 1, True)        # dtype
+        big = jnp.zeros((1, 1024, 1024, 8), jnp.float32)
+        assert not supported(big, 1, True)         # VMEM residency
+
+    def test_bf16_forward(self):
+        img = _rand((self.B, self.H, self.W, self.C), 7).astype(jnp.bfloat16)
+        flow = _rand((self.B, self.H, self.W, 2), 8, 3.0)
+        want = np.asarray(jax.jit(
+            lambda i, f: _resample2d_bilinear_impl(
+                i.astype(jnp.float32), f, 1))(img, flow))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                resample2d_bilinear_pallas(img, flow).astype(jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=0.02, atol=0.02)
+
+
+class TestResample2dGradFlowPallas:
+    """Flow-gradient kernel vs the pure-XLA analytic backward."""
+
+    B, H, W, C = 2, 16, 128, 3
+
+    def _compare(self, flow_scale, seed):
+        img = _rand((self.B, self.H, self.W, self.C), seed)
+        flow = _rand((self.B, self.H, self.W, 2), seed + 1, flow_scale)
+        g = _rand((self.B, self.H, self.W, self.C), seed + 2)
+        # XLA path (pallas disabled on CPU by default)
+        _, want = _resample2d_bwd(1, True, (img, flow), g)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(resample2d_grad_flow_pallas(g, img, flow))
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    def test_smooth_flow(self):
+        self._compare(2.0, 10)
+
+    def test_large_flow_crosses_blocks(self):
+        self._compare(60.0, 12)
 
 
 class TestCorrelationPallas:
@@ -81,9 +121,30 @@ class TestCorrelationPallas:
         # bf16 matmul operands: tolerance scaled to bf16 epsilon.
         np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
 
+    def test_backward_matches_autodiff(self):
+        f1 = _rand((self.B, self.H, self.W, self.C), 2)
+        f2 = _rand((self.B, self.H, self.W, self.C), 3)
+        disp = 2 * (self.MAXD // self.S2) + 1
+        g = _rand((self.B, self.H, self.W, disp * disp), 4)
+
+        def fwd(a, b):
+            return _correlation_shifts(a, b, self.MAXD, 1, self.MAXD, 1,
+                                       self.S2)
+
+        _, vjp = jax.vjp(fwd, f1, f2)
+        want1, want2 = vjp(g)
+        with pltpu.force_tpu_interpret_mode():
+            got1, got2 = correlation_pallas.correlation_pallas_bwd(
+                g, f1, f2, self.MAXD, self.MAXD, self.S2)
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                                   rtol=0.05, atol=0.02)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                   rtol=0.05, atol=0.02)
+
     def test_supported_gate(self):
         ok = jnp.zeros((1, 16, 64, 32), jnp.float32)
         assert correlation_pallas.supported(ok, 20, 1, 20, 1, 2)
+        assert correlation_pallas.supported_bwd(ok, 20, 1, 20, 1, 2)
         assert not correlation_pallas.supported(ok, 20, 3, 20, 1, 2)  # K
         assert not correlation_pallas.supported(ok, 20, 1, 20, 2, 2)  # s1
         assert not correlation_pallas.supported(ok, 10, 1, 20, 1, 2)  # pad
