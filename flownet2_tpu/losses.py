@@ -23,10 +23,20 @@ Array = jax.Array
 FlowOutput = Union[Array, Tuple[Array, ...]]
 
 
+def _mean_per_sample(x: Array) -> Array:
+    """Mean over all axes but the batch axis -> (B,)."""
+    return x.reshape(x.shape[0], -1).mean(axis=1)
+
+
 def epe(pred: Array, target: Array) -> Array:
     """End-point error: mean L2 norm of the flow residual
     (/root/reference/losses.py:11-12)."""
     return jnp.sqrt(jnp.sum((target - pred) ** 2, axis=-1)).mean()
+
+
+def epe_per_sample(pred: Array, target: Array) -> Array:
+    """Per-sample EPE, (B,) — for masked validation averaging."""
+    return _mean_per_sample(jnp.sqrt(jnp.sum((target - pred) ** 2, axis=-1)))
 
 
 def l1(pred: Array, target: Array) -> Array:
@@ -34,9 +44,17 @@ def l1(pred: Array, target: Array) -> Array:
     return jnp.abs(pred - target).mean()
 
 
+def l1_per_sample(pred: Array, target: Array) -> Array:
+    return _mean_per_sample(jnp.abs(pred - target))
+
+
 def l2(pred: Array, target: Array) -> Array:
     """Mean L2 norm over the flow axis (/root/reference/losses.py:21-25)."""
     return jnp.sqrt(jnp.sum((pred - target) ** 2, axis=-1)).mean()
+
+
+def l2_per_sample(pred: Array, target: Array) -> Array:
+    return _mean_per_sample(jnp.sqrt(jnp.sum((pred - target) ** 2, axis=-1)))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +66,12 @@ class L1Loss:
         output = output[0] if isinstance(output, tuple) else output
         return [l1(output, target), epe(output, target)]
 
+    def per_sample(self, output: FlowOutput, target: Array):
+        """([B] loss, [B] epe) — for masked (no-drop) validation."""
+        output = output[0] if isinstance(output, tuple) else output
+        return [l1_per_sample(output, target),
+                epe_per_sample(output, target)]
+
 
 @dataclasses.dataclass(frozen=True)
 class L2Loss:
@@ -57,6 +81,11 @@ class L2Loss:
     def __call__(self, output: FlowOutput, target: Array):
         output = output[0] if isinstance(output, tuple) else output
         return [l2(output, target), epe(output, target)]
+
+    def per_sample(self, output: FlowOutput, target: Array):
+        output = output[0] if isinstance(output, tuple) else output
+        return [l2_per_sample(output, target),
+                epe_per_sample(output, target)]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,6 +120,21 @@ class MultiScale:
                 lossvalue += weight * loss_fn(out, target_i)
             return [lossvalue, epevalue]
         return [loss_fn(output, target), epe(output, target)]
+
+    def per_sample(self, output: FlowOutput, target: Array):
+        """([B] loss, [B] epe) — for masked (no-drop) validation."""
+        loss_ps = l1_per_sample if self.norm == "L1" else l2_per_sample
+        if isinstance(output, tuple):
+            target = self.div_flow * target
+            lossvalue = 0.0
+            epevalue = 0.0
+            for i, out in enumerate(output[:self.num_scales]):
+                weight = self.l_weight / (2 ** i)
+                target_i = avg_pool(target, self.start_scale * (2 ** i))
+                epevalue += weight * epe_per_sample(out, target_i)
+                lossvalue += weight * loss_ps(out, target_i)
+            return [lossvalue, epevalue]
+        return [loss_ps(output, target), epe_per_sample(output, target)]
 
 
 LOSSES = {

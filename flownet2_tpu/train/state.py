@@ -27,8 +27,6 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..losses import epe as epe_fn
-
 
 class TrainState(struct.PyTreeNode):
     step: jax.Array
@@ -120,11 +118,20 @@ class StepFactory:
         )
 
     # ---- eval ----
-    def _eval_step(self, state: TrainState, images, flow):
+    def _metric_sums(self, pred, flow, n_valid):
+        """Masked per-sample sums: drop_last=False loaders pad the tail
+        batch back to full size (static shapes); positions >= n_valid are
+        pad samples and must not contaminate the epoch means (the reference
+        evaluates the full set, torch DataLoader drop_last default)."""
+        loss_ps, epe_ps = self.loss_fn.per_sample(pred, flow)
+        mask = (jnp.arange(loss_ps.shape[0]) < n_valid).astype(loss_ps.dtype)
+        return {"loss_sum": jnp.sum(loss_ps * mask),
+                "epe_sum": jnp.sum(epe_ps * mask),
+                "count": jnp.asarray(n_valid, jnp.int32)}
+
+    def _eval_step(self, state: TrainState, images, flow, n_valid):
         pred = self.model.apply(state.variables(), images, training=False)
-        lossvalue, epevalue = self.loss_fn(pred, flow)
-        return {"loss": lossvalue, "epe": epevalue,
-                "epe_fullres": epe_fn(pred, flow)}
+        return self._metric_sums(pred, flow, n_valid)
 
     def eval_step(self) -> Callable:
         if self.plan is None:
@@ -132,12 +139,14 @@ class StepFactory:
         rep = self.plan.replicated
         return jax.jit(
             self._eval_step,
-            in_shardings=(rep, self.plan.batch_images, self.plan.batch_flow),
+            in_shardings=(rep, self.plan.batch_images, self.plan.batch_flow,
+                          rep),
             out_shardings=rep,
         )
 
-    # ---- inference (flow only) ----
+    # ---- inference ----
     def infer_step(self) -> Callable:
+        """Flow only (no targets)."""
         def _infer(state: TrainState, images):
             return self.model.apply(state.variables(), images, training=False)
         if self.plan is None:
@@ -145,4 +154,20 @@ class StepFactory:
         return jax.jit(
             _infer,
             in_shardings=(self.plan.replicated, self.plan.batch_images),
+        )
+
+    def infer_metrics_step(self) -> Callable:
+        """Flow + masked loss/EPE sums (the reference's inference loop
+        reports per-batch losses, main.py:370-377 — targets are zeros when
+        the dataset has no ground truth, main.py:370-372)."""
+        def _infer(state: TrainState, images, flow, n_valid):
+            pred = self.model.apply(state.variables(), images, training=False)
+            return pred, self._metric_sums(pred, flow, n_valid)
+        if self.plan is None:
+            return jax.jit(_infer)
+        rep = self.plan.replicated
+        return jax.jit(
+            _infer,
+            in_shardings=(rep, self.plan.batch_images, self.plan.batch_flow,
+                          rep),
         )

@@ -28,6 +28,7 @@ from ..utils.tools import (
 class TrainerConfig:
     total_epochs: int = 10000
     validation_frequency: int = 5
+    validation_n_batches: int = -1     # reference --validation_n_batches
     checkpoint_frequency: int = 1      # epochs between train-checkpoints
     log_frequency: int = 1             # steps between metric records
     save_dir: str = "./work"
@@ -76,31 +77,53 @@ class Trainer:
                         "main.py:278)")
         return state, last
 
-    def validate(self, state, loader: Iterable, epoch: int):
-        totals, count = {}, 0
+    def validate(self, state, loader: Iterable, epoch: int,
+                 n_batches: int = -1):
+        """Sample-weighted validation means: tail batches from a
+        drop_last=False loader are padded; the step masks pad positions and
+        returns per-batch sums + true counts, so every real sample counts
+        exactly once (the reference evaluates the full set)."""
+        loss_sum = epe_sum = 0.0
+        count = 0
         n = len(loader) if hasattr(loader, "__len__") else None
-        for batch in progress(loader, total=n, desc=f"val e{epoch}"):
-            metrics = self._eval_step(state, batch.images, batch.flow)
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
-            count += 1
-        means = {k: v / max(count, 1) for k, v in totals.items()}
+        for i, batch in enumerate(progress(loader, total=n,
+                                           desc=f"val e{epoch}")):
+            if n_batches >= 0 and i >= n_batches:
+                break
+            n_valid = batch.n_valid if batch.n_valid is not None \
+                else batch.images.shape[0]
+            sums = self._eval_step(state, batch.images, batch.flow, n_valid)
+            loss_sum += float(sums["loss_sum"])
+            epe_sum += float(sums["epe_sum"])
+            count += int(sums["count"])
+        means = {"loss": loss_sum / max(count, 1),
+                 "epe": epe_sum / max(count, 1), "n_samples": count}
         self.logger.log(self.global_step, "val", means)
         print("  validation:",
               format_dictionary_of_losses(means.keys(), means.values()))
         return means
 
     def fit(self, state, train_loader, val_loader=None,
-            skip_training: bool = False):
+            skip_training: bool = False, skip_validation: bool = False,
+            inference_loader=None, render_validation: bool = False,
+            render_dir: Optional[str] = None):
         cfg = self.config
         for epoch in range(self.start_epoch, cfg.total_epochs):
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
 
-            if val_loader is not None and (
+            # --render_validation: write inference flows every validation
+            # epoch (reference main.py:415-417)
+            if (inference_loader is not None and render_validation
+                    and epoch % cfg.validation_frequency == 0):
+                self.inference(state, inference_loader,
+                               save_flow_dir=render_dir)
+
+            if val_loader is not None and not skip_validation and (
                     epoch % cfg.validation_frequency == 0):
-                means = self.validate(state, val_loader, epoch)
-                epe = means.get("epe_fullres", means.get("epe", float("inf")))
+                means = self.validate(state, val_loader, epoch,
+                                      n_batches=cfg.validation_n_batches)
+                epe = means.get("epe", float("inf"))
                 is_best = epe < self.best_epe
                 self.best_epe = min(self.best_epe, epe)
                 save_checkpoint(cfg.save_dir, jax.device_get(state), epoch,
@@ -115,21 +138,53 @@ class Trainer:
                                 self.best_epe, tag="train-checkpoint")
         return state
 
-    def inference(self, state, loader: Iterable, save_flow_dir: Optional[str] = None,
-                  infer_step: Optional[Callable] = None):
+    def inference(self, state, loader: Iterable,
+                  save_flow_dir: Optional[str] = None,
+                  n_batches: int = -1, visualize_dir: Optional[str] = None):
         """Reference inference() (main.py:343-405): forward each batch,
-        optionally writing .flo files."""
-        from ..data.flow_io import write_flo
+        reporting loss/EPE per batch (targets are zeros when the dataset
+        has no GT, main.py:370-372), optionally writing .flo files
+        (main.py:386-394) and PNG visualizations (--inference_visualize,
+        main.py:396-399).  ``n_batches`` mirrors --inference_n_batches
+        (main.py:52); -1 = whole set.  Returns (n_flows_written, means)."""
+        from ..data.flow_io import flow_to_image, write_flo
         import os
 
-        step = infer_step or self.factory.infer_step()
-        if save_flow_dir:
-            os.makedirs(save_flow_dir, exist_ok=True)
+        step = self.factory.infer_metrics_step()
+        for d in (save_flow_dir, visualize_dir):
+            if d:
+                os.makedirs(d, exist_ok=True)
         n = 0
-        for batch in loader:
-            flows = np.asarray(step(state, batch.images))
-            if save_flow_dir:
-                for f in flows:
-                    write_flo(os.path.join(save_flow_dir, f"{n:06d}.flo"), f)
+        loss_sum = epe_sum = 0.0
+        count = 0
+        total = len(loader) if hasattr(loader, "__len__") else None
+        for i, batch in enumerate(progress(loader, total=total,
+                                           desc="inference")):
+            if n_batches >= 0 and i >= n_batches:
+                break
+            n_valid = batch.n_valid if batch.n_valid is not None \
+                else batch.images.shape[0]
+            flows, sums = step(state, batch.images, batch.flow, n_valid)
+            loss_sum += float(sums["loss_sum"])
+            epe_sum += float(sums["epe_sum"])
+            count += int(sums["count"])
+            if save_flow_dir or visualize_dir:
+                # only this batch's real (unpadded) samples
+                flows_np = np.asarray(flows)[:n_valid]
+                for f in flows_np:
+                    if save_flow_dir:
+                        write_flo(
+                            os.path.join(save_flow_dir, f"{n:06d}.flo"), f)
+                    if visualize_dir:
+                        from PIL import Image
+                        Image.fromarray(flow_to_image(f)).save(
+                            os.path.join(visualize_dir, f"{n:06d}.png"))
                     n += 1
-        return n
+            else:
+                n += int(n_valid)
+        means = {"loss": loss_sum / max(count, 1),
+                 "epe": epe_sum / max(count, 1), "n_samples": count}
+        self.logger.log(self.global_step, "inference", means)
+        print("  inference:",
+              format_dictionary_of_losses(means.keys(), means.values()))
+        return n, means
