@@ -169,51 +169,54 @@ _PREDICTS = [("Convolution1", "predict_flow6"), ("Convolution2", "predict_flow5"
              ("Convolution5", "predict_flow2")]
 
 
-def _net_table(kind: str, caffe_prefix: str) -> List[Tuple[str, str, bool]]:
-    """[(caffe_key, torch_module, is_sequential)] for one sub-network.
+# Torch-module key styles (third column of _net_table rows):
+SEQ = "seq"                    # conv()/i_conv()/deconv() Sequential: key
+                               # carries a ".0" index (submodules.py:7-38)
+BARE = "bare"                  # bare module name, has a bias parameter
+BARE_NO_BIAS = "bare_no_bias"  # bare name, torch module has bias=False
+                               # (FlowNetS upsample deconvs,
+                               # FlowNetS.py:42-45; param_utils skips the
+                               # caffe bias via `m.bias is not None`,
+                               # param_utils.py:95-100)
 
-    ``is_sequential`` marks modules whose torch key carries a ``.0`` index
-    (conv()/i_conv()/deconv() Sequentials — submodules.py:7-38); ``None``
-    means bare module name AND no bias parameter in the torch model.
-    """
+
+def _net_table(kind: str, caffe_prefix: str) -> List[Tuple[str, str, str]]:
+    """[(caffe_key, torch_module, style)] for one sub-network."""
     p = caffe_prefix
-    t: List[Tuple[str, str, bool]] = []
+    t: List[Tuple[str, str, str]] = []
     if kind == "C":
-        t += [(p + k, k, True) for k in _C_CONVS]
-        t += [(p + k, k, True) for k in _DECONVS]
-        t += [(p + ck, m, False) for ck, m in _PREDICTS]
-        t += [(p + p + ck, m, False) for ck, m in _UPS]
+        t += [(p + k, k, SEQ) for k in _C_CONVS]
+        t += [(p + k, k, SEQ) for k in _DECONVS]
+        t += [(p + ck, m, BARE) for ck, m in _PREDICTS]
+        t += [(p + p + ck, m, BARE) for ck, m in _UPS]
     elif kind == "S":  # stacked FlowNetS (predict_conv* keys)
-        t += [(p + k, k, True) for k in _S_CONVS]
-        t += [(p + k, k, True) for k in _DECONVS]
-        t += [(p + f"predict_conv{i}", f"predict_flow{i}", False)
+        t += [(p + k, k, SEQ) for k in _S_CONVS]
+        t += [(p + k, k, SEQ) for k in _DECONVS]
+        t += [(p + f"predict_conv{i}", f"predict_flow{i}", BARE)
               for i in (6, 5, 4, 3, 2)]
-        # FlowNetS upsample deconvs are bias=False (FlowNetS.py:42-45);
-        # param_utils skips the caffe bias via `m.bias is not None`
-        # (param_utils.py:99-100) — mirror with the no-bias marker.
-        t += [(p + p + ck, m, None) for ck, m in _UPS]
+        t += [(p + p + ck, m, BARE_NO_BIAS) for ck, m in _UPS]
     elif kind == "S_only":  # standalone FlowNet2-S (Convolution* keys)
-        t += [(p + k, k, True) for k in _S_CONVS]
-        t += [(p + k, k, True) for k in _DECONVS]
-        t += [(p + ck, m, False) for ck, m in _PREDICTS]
-        t += [(p + p + ck, m, None) for ck, m in _UPS]
+        t += [(p + k, k, SEQ) for k in _S_CONVS]
+        t += [(p + k, k, SEQ) for k in _DECONVS]
+        t += [(p + ck, m, BARE) for ck, m in _PREDICTS]
+        t += [(p + p + ck, m, BARE_NO_BIAS) for ck, m in _UPS]
     elif kind == "SD":
-        t += [(p + k, k, True) for k in _SD_CONVS]
-        t += [(p + k, k, True) for k in _DECONVS]
-        t += [(p + f"interconv{i}", f"inter_conv{i}", True)
+        t += [(p + k, k, SEQ) for k in _SD_CONVS]
+        t += [(p + k, k, SEQ) for k in _DECONVS]
+        t += [(p + f"interconv{i}", f"inter_conv{i}", SEQ)
               for i in (5, 4, 3, 2)]
-        t += [(p + ck, m, False) for ck, m in _PREDICTS]
-        t += [(p + ck, m, False) for ck, m in _UPS]
+        t += [(p + ck, m, BARE) for ck, m in _PREDICTS]
+        t += [(p + ck, m, BARE) for ck, m in _UPS]
     elif kind == "Fusion":
-        t += [(p + k, k, True)
+        t += [(p + k, k, SEQ)
               for k in ("conv0", "conv1", "conv1_1", "conv2", "conv2_1")]
-        t += [(p + k, k, True) for k in ("deconv1", "deconv0")]
-        t += [(p + f"interconv{i}", f"inter_conv{i}", True) for i in (1, 0)]
-        t += [(p + "_Convolution5", "predict_flow2", False),
-              (p + "_Convolution6", "predict_flow1", False),
-              (p + "_Convolution7", "predict_flow0", False)]
-        t += [(p + "upsample_flow2to1", "upsampled_flow2_to_1", False),
-              (p + "upsample_flow1to0", "upsampled_flow1_to_0", False)]
+        t += [(p + k, k, SEQ) for k in ("deconv1", "deconv0")]
+        t += [(p + f"interconv{i}", f"inter_conv{i}", SEQ) for i in (1, 0)]
+        t += [(p + "_Convolution5", "predict_flow2", BARE),
+              (p + "_Convolution6", "predict_flow1", BARE),
+              (p + "_Convolution7", "predict_flow0", BARE)]
+        t += [(p + "upsample_flow2to1", "upsampled_flow2_to_1", BARE),
+              (p + "upsample_flow1to0", "upsampled_flow1_to_0", BARE)]
     else:
         raise ValueError(kind)
     return t
@@ -267,7 +270,7 @@ def caffe_to_state_dict(layers: Dict[str, List[np.ndarray]],
     state: Dict[str, np.ndarray] = {}
     for kind, cprefix, tprefix in _MODEL_NETS[model_name]:
         first_conv, groups = _BGR[kind]
-        for caffe_key, module, is_seq in _net_table(kind, cprefix):
+        for caffe_key, module, style in _net_table(kind, cprefix):
             if caffe_key not in layers:
                 raise KeyError(
                     f"caffemodel is missing layer {caffe_key!r} "
@@ -278,9 +281,9 @@ def caffe_to_state_dict(layers: Dict[str, List[np.ndarray]],
                 weight = weight.copy()
                 for lo, hi in groups:
                     weight[:, lo:hi] = weight[:, lo:hi][:, ::-1]
-            mid = f"{module}.0" if is_seq else module
+            mid = f"{module}.0" if style == SEQ else module
             state[f"{tprefix}{mid}.weight"] = weight
-            if is_seq is not None and len(blobs) > 1 and blobs[1].size:
+            if style != BARE_NO_BIAS and len(blobs) > 1 and blobs[1].size:
                 state[f"{tprefix}{mid}.bias"] = np.asarray(blobs[1], np.float32)
     return state
 

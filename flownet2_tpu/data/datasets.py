@@ -39,11 +39,9 @@ class StaticRandomCrop:
     """Crop offset drawn once, reused for every array passed in
     (datasets.py:13-22)."""
 
-    def __init__(self, image_size, crop_size, rng: np.random.RandomState):
+    def __init__(self, image_size, crop_size, origin):
         self.th, self.tw = crop_size
-        h, w = image_size
-        self.h1 = int(rng.randint(0, h - self.th + 1))
-        self.w1 = int(rng.randint(0, w - self.tw + 1))
+        self.h1, self.w1 = origin
 
     def __call__(self, img):
         return img[self.h1:self.h1 + self.th, self.w1:self.w1 + self.tw]
@@ -76,9 +74,25 @@ class FlowDataset:
         self.is_cropped = is_cropped
         self.replicates = replicates
         self.flip_flow_vertical = flip_flow_vertical
-        self._rng = np.random.RandomState(seed)
+        self.seed = seed
+        self._epoch = 0
         self.image_list: List[Tuple[str, str]] = []
         self.flow_list: List[Optional[str]] = []
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the crop stream: crops are a pure function of
+        (seed, epoch, index), so the native batch path, the Python
+        per-sample path, and a resumed run all produce identical crops
+        (VERDICT r1 weak #6)."""
+        self._epoch = int(epoch)
+
+    def _crop_origin(self, index: int, image_size, crop_size):
+        th, tw = crop_size
+        h, w = image_size
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self._epoch, int(index)]))
+        return (int(rng.integers(0, h - th + 1)),
+                int(rng.integers(0, w - tw + 1)))
 
     def _finalize(self):
         assert len(self.image_list) == len(self.flow_list)
@@ -114,11 +128,11 @@ class FlowDataset:
             th, tw = self.render_size
         img_paths, img_off = [], []
         flo_paths, flo_off, flo_slots = [], [], []
-        for slot, index in enumerate(indices):
-            index = int(index) % self.size
+        for slot, raw_index in enumerate(indices):
+            index = int(raw_index) % self.size
             if self.is_cropped:
-                oy = int(self._rng.randint(0, h - th + 1))
-                ox = int(self._rng.randint(0, w - tw + 1))
+                # crop keyed on the *raw* index so replicate passes differ
+                oy, ox = self._crop_origin(raw_index, (h, w), (th, tw))
             else:
                 oy, ox = (h - th) // 2, (w - tw) // 2
             img_paths.extend(self.image_list[index])
@@ -138,8 +152,8 @@ class FlowDataset:
             "flip_flow_vertical": self.flip_flow_vertical,
         }
 
-    def __getitem__(self, index: int):
-        index = index % self.size
+    def __getitem__(self, raw_index: int):
+        index = raw_index % self.size
         img1 = frame_io.read_gen(self.image_list[index][0])
         img2 = frame_io.read_gen(self.image_list[index][1])
         flow_path = self.flow_list[index]
@@ -152,7 +166,9 @@ class FlowDataset:
 
         image_size = img1.shape[:2]
         if self.is_cropped:
-            cropper = StaticRandomCrop(image_size, self.crop_size, self._rng)
+            cropper = StaticRandomCrop(
+                image_size, self.crop_size,
+                self._crop_origin(raw_index, image_size, self.crop_size))
         else:
             cropper = StaticCenterCrop(image_size, self.render_size)
         img1, img2, flow = cropper(img1), cropper(img2), cropper(flow)

@@ -91,6 +91,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # crop stream (datasets.py)
 
     def _index_order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))

@@ -46,6 +46,37 @@ OPTIMIZERS = {
     "Adagrad": lambda lr, sched=None, **kw: optax.adagrad(_sched(lr, sched), **kw),
 }
 
+# Underlying optax callables — introspected by the CLI to auto-expose
+# constructor params as --optimizer_<param> flags, the way the reference
+# reflects torch.optim signatures (utils/tools.py:69-82, main.py:69-82).
+_OPTAX_FNS = {
+    "Adam": optax.adam,
+    "AdamW": optax.adamw,
+    "SGD": optax.sgd,
+    "Momentum": optax.sgd,
+    "RMSprop": optax.rmsprop,
+    "Adagrad": optax.adagrad,
+}
+
+# registry-level default overrides on top of the optax signature
+_PARAM_OVERRIDES = {"Momentum": {"momentum": 0.9}}
+
+
+def optimizer_param_defaults(name: str) -> dict:
+    """{param: default} for an optimizer's tunable numeric/bool params
+    (learning_rate and dtype-like args excluded)."""
+    import inspect
+
+    fn = _OPTAX_FNS[name]
+    out = {}
+    for pname, p in inspect.signature(fn).parameters.items():
+        if pname == "learning_rate" or pname.endswith("dtype"):
+            continue
+        if isinstance(p.default, (bool, int, float)):
+            out[pname] = p.default
+    out.update(_PARAM_OVERRIDES.get(name, {}))
+    return out
+
 
 def get_optimizer(name: str, lr: float, schedule: Optional[LRSchedule] = None,
                   grad_clip: Optional[float] = None, **kwargs):

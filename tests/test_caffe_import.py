@@ -163,6 +163,50 @@ class TestMappingParity:
             lambda *a: param_utils.parse_flownetsd(*a, param_prefix=""),
             keys, "FlowNet2SD", rng)
 
+    def test_flownet2cs_stacked_s(self, reference):
+        """Stacked-S table (kind 'S': predict_conv* keys, net2_net2_ doubled
+        upsample prefix, BARE_NO_BIAS upsample deconvs) vs the reference's
+        parse_flownetc + parse_flownets(param_prefix='net2_')
+        (convert.py:80-84)."""
+        refmodels, param_utils, args = reference
+        rng = np.random.RandomState(3)
+        m = refmodels.FlowNet2CS(args)
+
+        c_keys = ["conv1", "conv2", "conv3", "conv_redir", "conv3_1",
+                  "conv4", "conv4_1", "conv5", "conv5_1", "conv6", "conv6_1",
+                  "deconv5", "deconv4", "deconv3", "deconv2",
+                  "Convolution1", "Convolution2", "Convolution3",
+                  "Convolution4", "Convolution5",
+                  "upsample_flow6to5", "upsample_flow5to4",
+                  "upsample_flow4to3", "upsample_flow3to2"]
+        s_keys = (["net2_" + k for k in
+                   ("conv1", "conv2", "conv3", "conv3_1", "conv4", "conv4_1",
+                    "conv5", "conv5_1", "conv6", "conv6_1",
+                    "deconv5", "deconv4", "deconv3", "deconv2",
+                    "predict_conv6", "predict_conv5", "predict_conv4",
+                    "predict_conv3", "predict_conv2")]
+                  + ["net2_net2_" + k for k in
+                     ("upsample_flow6to5", "upsample_flow5to4",
+                      "upsample_flow4to3", "upsample_flow3to2")])
+
+        blobs = {}
+        blobs.update(_reference_blobs(m.flownetc, c_keys, rng))
+        blobs.update(_reference_blobs(m.flownets_1, s_keys, rng))
+        weights = {k: v[0] for k, v in blobs.items()}
+        biases = {k: v[1] for k, v in blobs.items()}
+        param_utils.parse_flownetc(m.flownetc.modules(), weights, biases)
+        param_utils.parse_flownets(m.flownets_1.modules(), weights, biases,
+                                   param_prefix="net2_")
+        want = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+        got = caffe_import.caffe_to_state_dict(
+            {k: [np.asarray(w) for w in v] for k, v in blobs.items()},
+            "FlowNet2CS")
+        assert set(got) == set(want), (
+            sorted(set(want) - set(got))[:5], sorted(set(got) - set(want))[:5])
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
     def test_variables_tree_matches_model(self, reference):
         """Imported tree must match FlowNet2SD's expected structure."""
         import jax

@@ -101,9 +101,39 @@ def test_crops():
     img = rng.rand(10, 12, 3)
     c = StaticCenterCrop((10, 12), (4, 6))
     np.testing.assert_array_equal(c(img), img[3:7, 3:9])
-    rc = StaticRandomCrop((10, 12), (4, 6), np.random.RandomState(0))
+    rc = StaticRandomCrop((10, 12), (4, 6), (3, 2))
     out1, out2 = rc(img), rc(img)
-    np.testing.assert_array_equal(out1, out2)  # offset drawn once
+    np.testing.assert_array_equal(out1, img[3:7, 2:8])
+    np.testing.assert_array_equal(out1, out2)  # offset fixed
+
+
+def test_deterministic_crops(chairs_tree):
+    """Crops are a pure function of (seed, epoch, index): batch_plan and
+    __getitem__ agree, replicate passes differ, epochs differ, and a
+    re-created dataset reproduces them (VERDICT r1 weak #6)."""
+    def build():
+        ds = FlyingChairs(root=str(chairs_tree), is_cropped=True,
+                          crop_size=(32, 32), seed=7, replicates=2)
+        return ds
+
+    ds = build()
+    o_a = ds._crop_origin(1, (64, 64), (32, 32))
+    # same epoch/index -> same origin (and a fresh dataset agrees)
+    assert build()._crop_origin(1, (64, 64), (32, 32)) == o_a
+    # replicate pass (index + size) draws a different crop
+    assert ds._crop_origin(1 + ds.size, (64, 64), (32, 32)) != o_a
+    # epochs advance the stream
+    ds.set_epoch(1)
+    assert ds._crop_origin(1, (64, 64), (32, 32)) != o_a
+    ds.set_epoch(0)
+
+    # batch_plan and __getitem__ produce identical pixels
+    plan = ds.batch_plan([1])
+    oy, ox = map(int, plan["img_offsets"][0])
+    assert (oy, ox) == o_a
+    images, flow = ds[1]
+    full_img, _ = FlyingChairs(root=str(chairs_tree))[1]
+    np.testing.assert_array_equal(images[0], full_img[0][oy:oy+32, ox:ox+32])
 
 
 @pytest.fixture
