@@ -34,6 +34,10 @@ class TrainerConfig:
     save_dir: str = "./work"
     run_name: str = "run"
     nan_check: bool = True             # reference NaN assert (main.py:278)
+    tensorboard: bool = False          # tfevents scalars+histograms
+    histogram_frequency: int = 100     # steps between param histograms
+    profile_steps: int = 0             # capture a jax.profiler trace over
+                                       # this many early train steps
 
 
 class Trainer:
@@ -47,6 +51,37 @@ class Trainer:
         self.best_epe = float("inf")
         self.start_epoch = 0
         self.global_step = 0
+        self._profiling = False
+        self._profiled = config.profile_steps <= 0
+        # TensorBoard-compatible scalars + param histograms, matching the
+        # reference's two train/validation SummaryWriters (main.py:228-229,
+        # 315-327) — written by the dependency-free utils.tensorboard
+        self.tb_train = self.tb_val = None
+        if config.tensorboard:
+            import os
+            from ..utils.tensorboard import SummaryWriter
+            self.tb_train = SummaryWriter(
+                os.path.join(config.save_dir, "train"))
+            self.tb_val = SummaryWriter(
+                os.path.join(config.save_dir, "validation"))
+
+    def _maybe_profile(self, step_in_epoch: int):
+        """--profile N: trace steps [1, 1+N) of the first epoch (step 0 is
+        the compile step) into <save_dir>/profile as a Perfetto/TB trace."""
+        import os
+        if self._profiled and not self._profiling:
+            return
+        if not self._profiling and step_in_epoch == 1:
+            jax.profiler.start_trace(
+                os.path.join(self.config.save_dir, "profile"))
+            self._profiling = True
+            self._profile_stop = step_in_epoch + self.config.profile_steps
+        elif self._profiling and step_in_epoch >= self._profile_stop:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self._profiled = True
+            print(f"  profile: trace written to "
+                  f"{os.path.join(self.config.save_dir, 'profile')}")
 
     # -- checkpoint plumbing -------------------------------------------------
     def resume(self, state):
@@ -62,19 +97,37 @@ class Trainer:
         timer = IteratorTimer(loader)
         n = len(loader) if hasattr(loader, "__len__") else None
         last = {}
-        for batch in progress(timer, total=n, desc=f"train e{epoch}"):
+        for i, batch in enumerate(progress(timer, total=n,
+                                           desc=f"train e{epoch}")):
+            self._maybe_profile(i)
             state, metrics = self._train_step(state, batch.images, batch.flow)
             self.global_step += 1
             if self.global_step % self.config.log_frequency == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 host["load_s"] = timer.last_duration
                 self.logger.log(self.global_step, "train", host)
+                if self.tb_train is not None:
+                    self.tb_train.add_scalars(host, self.global_step)
+                    if self.global_step % self.config.histogram_frequency == 0:
+                        # reference: one histogram per named parameter
+                        # (main.py:322-327)
+                        flat = jax.tree_util.tree_flatten_with_path(
+                            state.params)[0]
+                        for path, leaf in flat:
+                            name = "/".join(
+                                getattr(k, "key", str(k)) for k in path)
+                            self.tb_train.add_histogram(
+                                name, np.asarray(jax.device_get(leaf)),
+                                self.global_step)
                 last = host
                 if self.config.nan_check and not np.isfinite(host["loss"]):
                     raise FloatingPointError(
                         f"non-finite training loss {host['loss']} at step "
                         f"{self.global_step} (reference asserts here too, "
                         "main.py:278)")
+        if self._profiling:  # epoch shorter than the profile window
+            jax.profiler.stop_trace()
+            self._profiling, self._profiled = False, True
         return state, last
 
     def validate(self, state, loader: Iterable, epoch: int,
@@ -99,6 +152,8 @@ class Trainer:
         means = {"loss": loss_sum / max(count, 1),
                  "epe": epe_sum / max(count, 1), "n_samples": count}
         self.logger.log(self.global_step, "val", means)
+        if self.tb_val is not None:
+            self.tb_val.add_scalars(means, self.global_step)
         print("  validation:",
               format_dictionary_of_losses(means.keys(), means.values()))
         return means

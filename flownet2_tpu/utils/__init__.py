@@ -1,5 +1,6 @@
 """Run tooling: timers, metric logging, progress."""
 
+from .tensorboard import SummaryWriter  # noqa: F401
 from .tools import (  # noqa: F401
     IteratorTimer,
     MetricLogger,

@@ -112,6 +112,7 @@ def test_cli_train_one_epoch(sintel_dir, tmp_path):
                "--optimizer", "Adam", "--optimizer_lr", "1e-4",
                "--batch_size", "2", "--total_epochs", "1",
                "--validation_frequency", "1", "--save", str(save),
+               "--tensorboard", "--log_frequency", "1",
                "--training_dataset", "MpiSintelClean",
                "--training_dataset_root", str(sintel_dir),
                "--validation_dataset", "MpiSintelClean",
@@ -122,3 +123,32 @@ def test_cli_train_one_epoch(sintel_dir, tmp_path):
     assert any(m["split"] == "train" for m in metrics)
     assert any(m["split"] == "val" for m in metrics)
     assert (save / "train-checkpoint").exists()
+    # --tensorboard: train + validation event files with a loss scalar
+    # (reference's two SummaryWriters, main.py:228-229)
+    from flownet2_tpu.utils.tensorboard import read_events
+    import glob
+    for split in ("train", "validation"):
+        files = glob.glob(str(save / split / "events.out.tfevents.*"))
+        assert len(files) == 1, split
+        events = read_events(files[0])
+        assert any("loss" in vals for _, vals in events), split
+
+
+def test_cli_fp16_training(sintel_dir, tmp_path):
+    """--precision fp16 wires float16 compute + static loss scaling +
+    skip-nonfinite updates (reference --fp16/--fp16_scale, main.py:61-62,
+    280-291); loss must come back finite and unscaled."""
+    save = tmp_path / "w16"
+    rc = main(["--model", "FlowNet2S", "--precision", "fp16",
+               "--fp16_scale", "128", "--batch_size", "2",
+               "--total_epochs", "1", "--validation_frequency", "5",
+               "--save", str(save),
+               "--training_dataset", "MpiSintelClean",
+               "--training_dataset_root", str(sintel_dir)])
+    assert rc == 0
+    metrics = [json.loads(l) for l in
+               open(save / "run.metrics.jsonl").read().splitlines()]
+    train = [m for m in metrics if m["split"] == "train"]
+    assert train and all(np.isfinite(m["loss"]) for m in train)
+    # unscaled losses: a x128-scaled leak would put these around 1e3-1e4
+    assert all(m["loss"] < 200 for m in train)

@@ -181,6 +181,116 @@ def test_inference_writes_every_sample(tmp_path, factory_single,
     assert n2 == 2 and means2["n_samples"] == 2
 
 
+class _ArrayDataset:
+    """8 deterministic in-memory samples (no file I/O, no native path)."""
+
+    def __init__(self, n=8):
+        self.samples = [_batch(200 + i, b=1) for i in range(n)]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        images, flow = self.samples[i]
+        return np.asarray(images)[0], np.asarray(flow)[0]
+
+
+def test_multihost_data_pipeline(factory_single, state_single):
+    """VERDICT r1 item 5: the multi-host input path, simulated in-process.
+
+    Two process-striped DataLoaders (process_count=2) produce per-host local
+    shards; placing those shards onto a 4-device data mesh exactly as
+    ``jax.make_array_from_process_local_data`` would (each host's stripe on
+    the devices it owns) must reconstruct the single-process global batch
+    bit-for-bit, and one train step on the assembled batch must match the
+    step on the plainly device_put batch."""
+    from flownet2_tpu.data.loader import DataLoader, device_prefetch
+
+    ds = _ArrayDataset(8)
+    kw = dict(batch_size=8, shuffle=True, seed=5, num_workers=2)
+    full = DataLoader(ds, **kw)
+    h0 = DataLoader(ds, process_count=2, process_index=0, **kw)
+    h1 = DataLoader(ds, process_count=2, process_index=1, **kw)
+    fb = next(iter(full))
+    b0, b1 = next(iter(h0)), next(iter(h1))
+    assert b0.images.shape[0] == b1.images.shape[0] == 4
+
+    mesh = make_mesh(jax.devices()[:4], spatial=1)
+    plan = MeshPlan(mesh)
+    owned = {d.id: host for host, devs in
+             enumerate((mesh.devices.ravel()[:2], mesh.devices.ravel()[2:]))
+             for d in devs}
+    locals_ = {0: b0, 1: b1}
+
+    def assemble(sharding, field, global_shape):
+        shards = []
+        devices = []
+        for dev, idx in sharding.addressable_devices_indices_map(
+                global_shape).items():
+            bsl = idx[0]
+            host = owned[dev.id]
+            local = getattr(locals_[host], field)
+            lo = bsl.start - host * 4
+            shards.append(jax.device_put(local[lo:bsl.stop - host * 4],
+                                         dev))
+            devices.append(dev)
+        return jax.make_array_from_single_device_arrays(
+            global_shape, sharding, shards)
+
+    g_images = assemble(plan.batch_images, "images", fb.images.shape)
+    g_flow = assemble(plan.batch_flow, "flow", fb.flow.shape)
+    # the assembled global batch equals the single-process batch
+    np.testing.assert_array_equal(np.asarray(g_images), fb.images)
+    np.testing.assert_array_equal(np.asarray(g_flow), fb.flow)
+
+    # ... and the real transfer path (device_prefetch with sharding ->
+    # jax.make_array_from_process_local_data; on one process local == global)
+    pb = next(device_prefetch(iter(full), sharding=plan.batch))
+    np.testing.assert_array_equal(np.asarray(pb.images), fb.images)
+    assert pb.images.sharding.is_equivalent_to(g_images.sharding,
+                                               ndim=pb.images.ndim)
+
+    # one train step from each input path gives identical metrics
+    factory = StepFactory(factory_single.model, MultiScale(),
+                          factory_single.tx, plan=plan)
+    state = jax.device_put(jax.tree.map(jnp.copy, state_single),
+                           plan.replicated)
+    step = factory.train_step()
+    _, m_assembled = step(jax.tree.map(jnp.copy, state), g_images, g_flow)
+    _, m_direct = step(state,
+                       jax.device_put(jnp.asarray(fb.images),
+                                      plan.batch_images),
+                       jax.device_put(jnp.asarray(fb.flow), plan.batch_flow))
+    assert float(m_assembled["loss"]) == pytest.approx(
+        float(m_direct["loss"]), rel=1e-6)
+
+
+def test_profile_hook(tmp_path, factory_single, state_single):
+    """--profile N captures a jax.profiler trace into <save>/profile
+    (VERDICT r1 item 10, SURVEY §5 tracing row)."""
+    import glob
+    import os
+    from flownet2_tpu.data.loader import Batch
+    from flownet2_tpu.train import Trainer, TrainerConfig
+
+    class L:
+        def __len__(self):
+            return 3
+
+        def __iter__(self):
+            for i in range(3):
+                images, flow = _batch(i, b=2)
+                yield Batch(images, flow)
+
+    cfg = TrainerConfig(total_epochs=1, save_dir=str(tmp_path),
+                        profile_steps=1, validation_frequency=10**9)
+    trainer = Trainer(factory_single, cfg)
+    trainer.train_epoch(jax.tree.map(jnp.copy, state_single), L(), epoch=0)
+    traces = glob.glob(os.path.join(str(tmp_path), "profile", "**", "*"),
+                       recursive=True)
+    assert any(os.path.isfile(t) for t in traces), traces
+
+
 def test_checkpoint_roundtrip(tmp_path, factory_single, state_single):
     from flownet2_tpu.checkpoints import restore_checkpoint, save_checkpoint
 
