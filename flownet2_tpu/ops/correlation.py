@@ -249,9 +249,16 @@ def _corr_bwd(pad_size, kernel_size, max_displacement, stride1, stride2,
     maxd = max_displacement
     pad = ((0, 0), (pad_size, pad_size), (pad_size, pad_size), (0, 0))
     f2p = jnp.pad(f2, pad)
-    # g * f1 products padded by maxd so that the reverse shift (-tj, -ti)
-    # is a plain slice — avoids serialized read-modify-write scatters.
+    # Pad g and f1 ONCE by maxd so every reverse shift (-tj, -ti) is a plain
+    # slice of the padded arrays (no scatters, and — critically — no pad
+    # inside the 441-way loop: a per-iteration pad-of-product followed by a
+    # shifted slice sent XLA's algebraic simplifier into its 50-run
+    # pad/slice-commuting cycle under spatial sharding, the
+    # MULTICHIP_r01.json warning; hoisting the pads mirrors the d_f1
+    # structure, which always compiled clean).
     gpad = ((0, 0), (maxd, maxd), (maxd, maxd), (0, 0))
+    gp = jnp.pad(g.astype(jnp.float32), gpad)              # (B, H+2m, W+2m, D*D)
+    f1pp = jnp.pad(f1.astype(jnp.float32), gpad)           # (B, H+2m, W+2m, C)
 
     d_f1 = jnp.zeros_like(f1, dtype=jnp.float32)
     d_f2 = jnp.zeros_like(f2, dtype=jnp.float32)
@@ -263,11 +270,16 @@ def _corr_bwd(pad_size, kernel_size, max_displacement, stride1, stride2,
                 f2p, (0, pad_size + tj * stride2, pad_size + ti * stride2, 0),
                 (batch, height, width, channels)).astype(jnp.float32)
             d_f1 = d_f1 + gd * f2s
-            # d_f2[y + tj*s2, x + ti*s2] += g[y, x, d] * f1[y, x]
-            contrib = jnp.pad(gd * f1.astype(jnp.float32), gpad)
-            d_f2 = d_f2 + jax.lax.dynamic_slice(
-                contrib, (0, maxd - tj * stride2, maxd - ti * stride2, 0),
-                (batch, height, width, channels))
+            # d_f2[y + tj*s2, x + ti*s2] += g[y, x, d] * f1[y, x]: slice the
+            # padded g-channel and padded f1 at the same reverse offset —
+            # wherever the source is out of range both slices read zeros.
+            oy = maxd - tj * stride2
+            ox = maxd - ti * stride2
+            gs = jax.lax.dynamic_slice(
+                gp, (0, oy, ox, d), (batch, height, width, 1))
+            f1s = jax.lax.dynamic_slice(
+                f1pp, (0, oy, ox, 0), (batch, height, width, channels))
+            d_f2 = d_f2 + gs * f1s
     return (d_f1 / nelems).astype(f1.dtype), (d_f2 / nelems).astype(f2.dtype)
 
 
