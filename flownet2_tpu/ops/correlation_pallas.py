@@ -28,10 +28,19 @@ Semantics match ops/correlation.py for the K=1, stride1=1, pad==maxd case
 networks/FlowNetC.py:31: pad=20, K=1, maxd=20, s1=1, s2=2 -> D=21, 441
 channels; normalisation by nelems=C, correlation_cuda_kernel.cu:143).
 
+Wide widths (W + 2*maxd > 128 — Sintel-native 1024-wide inputs correlate at
+W=128, KITTI-class at 152+; the reference kernel has no width limit,
+correlation_cuda_kernel.cu:73-147) are handled by **column chunking**: XLA
+splits the width into TW=64-column chunks and stacks, per chunk, the
+128-lane window of padded f2 that covers the chunk's band
+(TW + 2*maxd <= 128 lanes).  The same row-matmul + band-gather kernel then
+runs on grid (B, chunk, H) with everything still VMEM-resident per chunk —
+no giant HBM intermediates, unlike the XLA mxu fallback this replaces.
+The backward kernels chunk identically (d_f2 with a +-maxd column halo).
+
 Restrictions (callers fall back to the XLA path otherwise, see supported()):
-  K == 1, s1 == 1, pad == maxd, W + 2*maxd <= 128 (the band gather must stay
-  inside one 128-lane tile), H % 8 == 0, and the resident f2 copy must fit
-  in VMEM.
+  K == 1, s1 == 1, pad == maxd, TW + 2*maxd <= 128 (i.e. maxd <= 32),
+  H % 8 == 0, and the per-chunk resident blocks must fit in VMEM.
 """
 
 from __future__ import annotations
@@ -44,7 +53,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
+_CHUNK_W = 64  # column-chunk width for the wide-W path
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave room for blocks + double buffering
+
+
+def _is_wide(width: int, max_displacement: int) -> bool:
+    return width + 2 * max_displacement > _LANES
 
 
 def supported(f1: jax.Array, pad_size: int, kernel_size: int,
@@ -55,8 +69,13 @@ def supported(f1: jax.Array, pad_size: int, kernel_size: int,
         return False
     if f1.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    if width + 2 * max_displacement > _LANES or height % 8 != 0:
+    if height % 8 != 0:
         return False
+    if _is_wide(width, max_displacement) \
+            and _CHUNK_W + 2 * max_displacement > _LANES:
+        return False  # band of one 64-col chunk must fit a lane tile
+    # Per-grid-step resident block: the (Hp, C, 128) f2 window (whole f2
+    # in the narrow case, one chunk's window in the wide case).
     resident = (height + 2 * max_displacement) * channels * _LANES * 2
     return resident <= _VMEM_BUDGET
 
@@ -102,16 +121,244 @@ def _f2pt(f2: jax.Array, max_displacement: int, wp: int) -> jax.Array:
     return jnp.transpose(f2p, (0, 1, 3, 2))  # (B, Hp, C, Wp)
 
 
+# ---------------------------------------------------------------------------
+# Wide-W column chunking (W + 2*maxd > 128)
+# ---------------------------------------------------------------------------
+
+def _chunk_plan(width: int):
+    n = -(-width // _CHUNK_W)
+    return n, n * _CHUNK_W
+
+
+def _f2_chunk_stack(f2: jax.Array, maxd: int, n: int) -> jax.Array:
+    """(B, H, W, C) -> (B, n, Hp, C, 128) bf16: per column chunk i, the
+    128-lane window of zero-padded+transposed f2 starting at padded column
+    i*TW — covers the chunk's full band (local idx <= TW-1 + 2*maxd < 128).
+    Lanes past TW + 2*maxd may hold neighbouring real data; every consumer
+    either never reads them (forward band gather) or masks them (backward
+    validity masks)."""
+    _, _, width, _ = f2.shape
+    wtot = (n - 1) * _CHUNK_W + _LANES
+    f2p = jnp.pad(f2.astype(jnp.bfloat16),
+                  ((0, 0), (maxd, maxd), (maxd, wtot - width - maxd), (0, 0)))
+    f2pt = jnp.transpose(f2p, (0, 1, 3, 2))  # (B, Hp, C, wtot)
+    chunks = [jax.lax.slice_in_dim(f2pt, i * _CHUNK_W, i * _CHUNK_W + _LANES,
+                                   axis=3) for i in range(n)]
+    return jnp.stack(chunks, axis=1)
+
+
+def _col_chunks(x: jax.Array, n: int, halo: int = 0) -> jax.Array:
+    """(B, H, W, K) -> (B, n, H, TW + 2*halo, K) column chunks, zero-padded;
+    with ``halo`` each chunk carries the +-halo neighbouring columns (the
+    d_f2 read window)."""
+    b, h, width, k = x.shape
+    if halo == 0:
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, n * _CHUNK_W - width), (0, 0)))
+        return jnp.transpose(xp.reshape(b, h, n, _CHUNK_W, k),
+                             (0, 2, 1, 3, 4))
+    xp = jnp.pad(x, ((0, 0), (0, 0),
+                     (halo, n * _CHUNK_W - width + halo), (0, 0)))
+    tww = _CHUNK_W + 2 * halo
+    chunks = [jax.lax.slice_in_dim(xp, i * _CHUNK_W, i * _CHUNK_W + tww,
+                                   axis=2) for i in range(n)]
+    return jnp.stack(chunks, axis=1)
+
+
+def _unchunk(y: jax.Array, width: int) -> jax.Array:
+    """(B, n, H, TW, K) -> (B, H, W, K)."""
+    b, n, h, tw, k = y.shape
+    out = jnp.transpose(y, (0, 2, 1, 3, 4)).reshape(b, h, n * tw, k)
+    return out[:, :, :width]
+
+
+def _kernel_wide(f1_ref, f2_ref, out_ref, *, disp, stride2):
+    """Forward, wide path.  Grid (B, n, H); f1_ref (1,1,1,TW,C) bf16;
+    f2_ref (1,1,Hp,C,128) chunk window resident per (b, chunk);
+    out_ref (1,1,1,TW,D*D) f32.  Same band math as _kernel with the column
+    origin shifted to the chunk start."""
+    y = pl.program_id(2)
+    a = f1_ref[0, 0, 0]  # (TW, C)
+    tw = a.shape[0]
+    wp = f2_ref.shape[-1]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (tw, wp), 0)
+    tis = jax.lax.broadcasted_iota(jnp.int32, (tw, wp), 1)
+    idx = jnp.minimum(xs + tis * stride2, wp - 1)
+    for t in range(disp):
+        slab = f2_ref[0, 0, y + t * stride2]  # (C, 128)
+        m = jnp.dot(a, slab, preferred_element_type=jnp.float32)
+        band = jnp.take_along_axis(m, idx, axis=1)
+        out_ref[0, 0, 0, :, t * disp:(t + 1) * disp] = band[:, :disp]
+
+
+def _bwd_f1_kernel_wide(g_ref, f2_ref, out_ref, *, disp, stride2, channels):
+    """d_f1, wide path.  Grid (B, n, H); g_ref (1,1,1,TW,D*D);
+    f2_ref (1,1,Hp,C,128) chunk window; out (1,1,1,TW,C) f32."""
+    y = pl.program_id(2)
+    tw = g_ref.shape[-2]
+    wp = f2_ref.shape[-1]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (tw, wp), 0)
+    vs = jax.lax.broadcasted_iota(jnp.int32, (tw, wp), 1)
+    off = vs - xs
+    valid = (off >= 0) & (off <= (disp - 1) * stride2) & (off % stride2 == 0)
+    idx = jnp.clip(off // stride2, 0, wp - 1)
+    acc = jnp.zeros((tw, channels), jnp.float32)
+    for t in range(disp):
+        gt = g_ref[0, 0, 0, :, t * disp:(t + 1) * disp]       # (TW, D)
+        gtp = jnp.pad(gt.astype(jnp.float32), ((0, 0), (0, wp - disp)))
+        band = jnp.where(valid, jnp.take_along_axis(gtp, idx, axis=1),
+                         0.0).astype(g_ref.dtype)             # (TW, 128)
+        slab = f2_ref[0, 0, y + t * stride2]                  # (C, 128)
+        acc = acc + jax.lax.dot_general(
+            band, slab, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0, 0, 0] = acc / channels
+
+
+def _bwd_f2_kernel_wide(g_ref, f1_ref, out_ref, *, disp, stride2, maxd,
+                        height, channels, tw):
+    """d_f2, wide path.  Grid (B, n, H); g_ref (1,1,H,TW+2*maxd,D*D) and
+    f1_ref (1,1,H,TW+2*maxd,C) are the chunk's halo windows (columns
+    i*TW - maxd .. i*TW + TW + maxd, zero-padded at array edges); out
+    (1,1,1,TW,C) f32.  Sublane s holds global column i*TW - maxd + s, so
+    off = x2_local + 2*maxd - s."""
+    y2 = pl.program_id(2)
+    tww = g_ref.shape[-2]  # TW + 2*maxd
+    xs = jax.lax.broadcasted_iota(jnp.int32, (tww, _LANES), 0)
+    x2s = jax.lax.broadcasted_iota(jnp.int32, (tww, _LANES), 1)
+    off = x2s + 2 * maxd - xs
+    valid = ((off >= 0) & (off <= 2 * maxd) & (off % stride2 == 0)
+             & (x2s < tw))
+    idx = jnp.clip(off // stride2, 0, _LANES - 1)
+    acc = jnp.zeros((_LANES, channels), jnp.float32)
+    for t in range(disp):
+        y = y2 + maxd - t * stride2
+        yc = jnp.clip(y, 0, height - 1)
+        inrow = ((y >= 0) & (y < height)).astype(g_ref.dtype)
+        grow = g_ref[0, 0, yc]                                 # (TWW, D*D)
+        gt = grow[:, t * disp:(t + 1) * disp] * inrow          # (TWW, D)
+        gtp = jnp.pad(gt.astype(jnp.float32), ((0, 0), (0, _LANES - disp)))
+        band = jnp.where(valid, jnp.take_along_axis(gtp, idx, axis=1),
+                         0.0).astype(g_ref.dtype)              # (TWW, 128)
+        f1row = f1_ref[0, 0, yc]                               # (TWW, C)
+        acc = acc + jax.lax.dot_general(
+            band, f1row, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (128, C)
+    out_ref[0, 0, 0] = acc[:tw] / channels
+
+
+def _correlation_pallas_wide(f1, f2, max_displacement, stride2):
+    batch, height, width, channels = f1.shape
+    d_rad = max_displacement // stride2
+    disp = 2 * d_rad + 1
+    n, wpad = _chunk_plan(width)
+
+    f2c = _f2_chunk_stack(f2, max_displacement, n)  # (B, n, Hp, C, 128)
+    f1c = _col_chunks(f1.astype(jnp.bfloat16), n)   # (B, n, H, TW, C)
+    hp = height + 2 * max_displacement
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_wide, disp=disp, stride2=stride2),
+        grid=(batch, n, height),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, _CHUNK_W, channels),
+                         lambda b, i, y: (b, i, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hp, channels, _LANES),
+                         lambda b, i, y: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, _CHUNK_W, disp * disp),
+                               lambda b, i, y: (b, i, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, n, height, _CHUNK_W, disp * disp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * n * height * disp * _CHUNK_W * _LANES * channels,
+            bytes_accessed=(f1c.size + f2c.size) * 2
+            + batch * height * wpad * disp * disp * 4,
+            transcendentals=0,
+        ),
+    )(f1c, f2c)
+    return (_unchunk(out, width) / channels).astype(f1.dtype)
+
+
+def _correlation_pallas_bwd_wide(g, f1, f2, max_displacement, stride2):
+    batch, height, width, channels = f1.shape
+    d_rad = max_displacement // stride2
+    disp = 2 * d_rad + 1
+    maxd = max_displacement
+    n, _ = _chunk_plan(width)
+    hp = height + 2 * maxd
+    tww = _CHUNK_W + 2 * maxd
+
+    f2c = _f2_chunk_stack(f2, maxd, n)                       # (B,n,Hp,C,128)
+    gc = _col_chunks(g.astype(jnp.bfloat16), n)              # (B,n,H,TW,D*D)
+    flops = 2 * batch * n * height * disp * _CHUNK_W * _LANES * channels
+
+    d_f1 = pl.pallas_call(
+        functools.partial(_bwd_f1_kernel_wide, disp=disp, stride2=stride2,
+                          channels=channels),
+        grid=(batch, n, height),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, _CHUNK_W, disp * disp),
+                         lambda b, i, y: (b, i, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hp, channels, _LANES),
+                         lambda b, i, y: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, _CHUNK_W, channels),
+                               lambda b, i, y: (b, i, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, n, height, _CHUNK_W, channels), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=(gc.size + f2c.size) * 2,
+            transcendentals=0),
+    )(gc, f2c)
+    d_f1 = _unchunk(d_f1, width)
+
+    gh = _col_chunks(g.astype(jnp.bfloat16), n, halo=maxd)   # (B,n,H,TWW,D*D)
+    f1h = _col_chunks(f1.astype(jnp.bfloat16), n, halo=maxd)  # (B,n,H,TWW,C)
+    d_f2 = pl.pallas_call(
+        functools.partial(_bwd_f2_kernel_wide, disp=disp, stride2=stride2,
+                          maxd=maxd, height=height, channels=channels,
+                          tw=_CHUNK_W),
+        grid=(batch, n, height),
+        in_specs=[
+            pl.BlockSpec((1, 1, height, tww, disp * disp),
+                         lambda b, i, y: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, height, tww, channels),
+                         lambda b, i, y: (b, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, _CHUNK_W, channels),
+                               lambda b, i, y: (b, i, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, n, height, _CHUNK_W, channels), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=(gh.size + f1h.size) * 2,
+            transcendentals=0),
+    )(gh, f1h)
+    d_f2 = _unchunk(d_f2, width)
+    return d_f1, d_f2
+
+
 def supported_bwd(f1: jax.Array, pad_size: int, kernel_size: int,
                   max_displacement: int, stride1: int, stride2: int) -> bool:
     """The backward kernels additionally keep g (B,H,W,D^2) and f1 resident
-    in VMEM per batch item (for the d_f2 pass)."""
+    in VMEM per batch item — per column chunk (+- maxd halo) in the wide
+    case — for the d_f2 pass."""
     if not supported(f1, pad_size, kernel_size, max_displacement, stride1,
                      stride2):
         return False
     _, height, width, channels = f1.shape
     disp = 2 * (max_displacement // stride2) + 1
     g_lanes = _round_up(disp * disp, _LANES)
+    if _is_wide(width, max_displacement):
+        width = _CHUNK_W + 2 * max_displacement  # per-chunk halo window
     resident = height * width * (g_lanes + channels) * 2  # bf16
     return resident <= _VMEM_BUDGET
 
@@ -185,6 +432,9 @@ def correlation_pallas_bwd(g: jax.Array, f1: jax.Array, f2: jax.Array,
     forward kernel and XLA's default f32 matmul precision on TPU);
     accumulation is f32."""
     batch, height, width, channels = f1.shape
+    if _is_wide(width, max_displacement):
+        return _correlation_pallas_bwd_wide(g, f1, f2, max_displacement,
+                                            stride2)
     d_rad = max_displacement // stride2
     disp = 2 * d_rad + 1
     wp = _LANES
@@ -247,6 +497,8 @@ def correlation_pallas(f1: jax.Array, f2: jax.Array, pad_size: int,
     """Forward correlation; f1/f2 (B, H, W, C).  Returns (B, H, W, D*D) in
     f1's dtype (f32 accumulation internally)."""
     batch, height, width, channels = f1.shape
+    if _is_wide(width, max_displacement):
+        return _correlation_pallas_wide(f1, f2, max_displacement, stride2)
     d_rad = max_displacement // stride2
     disp = 2 * d_rad + 1
     wp = _LANES  # width + 2*maxd padded up to one lane tile

@@ -108,23 +108,27 @@ class Trainer:
                 self.logger.log(self.global_step, "train", host)
                 if self.tb_train is not None:
                     self.tb_train.add_scalars(host, self.global_step)
-                    if self.global_step % self.config.histogram_frequency == 0:
-                        # reference: one histogram per named parameter
-                        # (main.py:322-327)
-                        flat = jax.tree_util.tree_flatten_with_path(
-                            state.params)[0]
-                        for path, leaf in flat:
-                            name = "/".join(
-                                getattr(k, "key", str(k)) for k in path)
-                            self.tb_train.add_histogram(
-                                name, np.asarray(jax.device_get(leaf)),
-                                self.global_step)
                 last = host
-                if self.config.nan_check and not np.isfinite(host["loss"]):
-                    raise FloatingPointError(
-                        f"non-finite training loss {host['loss']} at step "
-                        f"{self.global_step} (reference asserts here too, "
-                        "main.py:278)")
+            if (self.tb_train is not None
+                    and self.global_step % self.config.histogram_frequency == 0):
+                # reference: one histogram per named parameter
+                # (main.py:322-327).  Gated independently of log_frequency
+                # so the documented cadence holds even when the two
+                # frequencies are not multiples of each other.
+                flat = jax.tree_util.tree_flatten_with_path(
+                    state.params)[0]
+                for path, leaf in flat:
+                    name = "/".join(
+                        getattr(k, "key", str(k)) for k in path)
+                    self.tb_train.add_histogram(
+                        name, np.asarray(jax.device_get(leaf)),
+                        self.global_step)
+            if (self.config.nan_check and last
+                    and not np.isfinite(last["loss"])):
+                raise FloatingPointError(
+                    f"non-finite training loss {last['loss']} at step "
+                    f"{self.global_step} (reference asserts here too, "
+                    "main.py:278)")
         if self._profiling:  # epoch shorter than the profile window
             jax.profiler.stop_trace()
             self._profiling, self._profiled = False, True

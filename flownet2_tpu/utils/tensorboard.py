@@ -96,6 +96,10 @@ def _histogram_proto(values: np.ndarray, bins: int = 30) -> bytes:
     """HistogramProto: min=1 max=2 num=3 sum=4 sum_squares=5,
     bucket_limit=6 (packed double), bucket=7 (packed double)."""
     v = np.asarray(values, np.float64).ravel()
+    # Drop non-finite values: np.histogram raises on NaN/Inf, which would
+    # crash the train loop here before the trainer's FloatingPointError
+    # nan_check fires and mask the real diagnostic (training divergence).
+    v = v[np.isfinite(v)]
     if v.size == 0:
         v = np.zeros((1,))
     counts, edges = np.histogram(v, bins=bins)

@@ -1,0 +1,113 @@
+"""End-to-end test of scripts/parity_protocol.py on a synthetic mini-Sintel
+tree + randomly-initialised reference checkpoint.
+
+The real protocol needs the released checkpoints and the MPI-Sintel data
+(absent in this environment, BASELINE.md); this proves the harness itself —
+index building, checkpoint import, both-stack EPE, the delta table, and the
+stagewise activation diff — is runnable with one command the moment the
+data exists.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+PIL = pytest.importorskip("PIL")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+sys.path.insert(0, "/root/reference")
+
+import ref_stubs  # noqa: E402
+
+ref_stubs.install()
+
+import parity_protocol  # noqa: E402
+
+from flownet2_tpu.data.flow_io import write_flo  # noqa: E402
+
+H, W = 64, 128
+
+
+@pytest.fixture(scope="module")
+def sintel_tree(tmp_path_factory):
+    """mini MPI-Sintel training/ layout: clean/ + final/ + flow/."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("sintel") / "training"
+    rng = np.random.RandomState(0)
+    for scene in ("alley_1", "temple_2"):
+        for dstype in ("clean", "final"):
+            (root / dstype / scene).mkdir(parents=True, exist_ok=True)
+        (root / "flow" / scene).mkdir(parents=True, exist_ok=True)
+        for i in range(1, 4):  # frames 1..3 -> pairs (1,2), (2,3)
+            img = rng.randint(0, 255, (H, W, 3), np.uint8)
+            for dstype in ("clean", "final"):
+                Image.fromarray(img).save(
+                    root / dstype / scene / f"frame_{i:04d}.png")
+            if i < 3:
+                write_flo(str(root / "flow" / scene / f"frame_{i:04d}.flo"),
+                          rng.randn(H, W, 2).astype(np.float32) * 2)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    """Random-init reference FlowNet2CS saved in the released format
+    (/root/reference/main.py:429-433)."""
+    import models as refmodels
+
+    args = argparse.Namespace(fp16=False, rgb_max=255.0, grads={})
+    torch.manual_seed(0)
+    tm = refmodels.FlowNet2CS(args, batchNorm=False)
+    path = tmp_path_factory.mktemp("ckpt") / "FlowNet2-CS_checkpoint.pth.tar"
+    torch.save({"arch": "FlowNet2CS", "epoch": 0, "best_EPE": -1.0,
+                "state_dict": tm.state_dict()}, path)
+    return str(path)
+
+
+def test_protocol_end_to_end(sintel_tree, checkpoint, capsys):
+    rc = parity_protocol.main([
+        "--checkpoint", checkpoint,
+        "--sintel_root", sintel_tree,
+        "--dstype", "clean",
+        "--batch", "2", "--n_batches", "2",
+        "--with_reference", "--stagewise",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    # BASELINE.md-format table with a parity verdict per split
+    assert "| Split | EPE (reference) | EPE (TPU) | delta | parity |" in out
+    assert "| Sintel clean (train) |" in out
+    # stagewise table covers every cascade seam for the arch
+    assert "## Stagewise activation diff" in out
+    for stage in ("flownetc", "flownets_1"):
+        assert f"| {stage} |" in out
+    # machine-readable tail line
+    result = json.loads(out.strip().splitlines()[-1])
+    assert result["arch"] == "FlowNet2CS"
+    r = result["results"][0]
+    assert r["parity"], f"stacks disagree: {r}"
+    assert abs(r["delta"]) < 0.05
+
+
+def test_protocol_arch_inference(checkpoint):
+    arch, variables = parity_protocol.load_variables(checkpoint, None)
+    assert arch == "FlowNet2CS"
+    assert "params" in variables
+
+
+def test_protocol_tpu_only_table(sintel_tree, checkpoint, capsys):
+    rc = parity_protocol.main([
+        "--checkpoint", checkpoint, "--arch", "FlowNet2CS",
+        "--sintel_root", sintel_tree,
+        "--dstype", "final", "--batch", "2", "--n_batches", "1",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "| Split | EPE (TPU) |" in out
+    assert "Sintel final (train)" in out
