@@ -96,6 +96,48 @@ def bench_train(name, batch, h, w, results):
           f"-> {batch/dt:.1f} frames/s", file=sys.stderr)
 
 
+def scaling_table(model_name="FlowNet2C", per_device_batch=8, h=384, w=448,
+                  device_counts=(1, 2, 4, 8), iters=10):
+    """Data-parallel scaling: frames/s at 1..N local devices with weak
+    scaling (fixed per-device batch), plus efficiency vs linear
+    (BASELINE.md protocol step 4).  Runs on however many devices the
+    current backend exposes — the single real chip today, a v5e slice when
+    one exists; tests exercise it on the 8-virtual-CPU mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from flownet2_tpu.models import get_model
+    from flownet2_tpu.parallel import MeshPlan, make_mesh
+
+    ndev_avail = len(jax.devices())
+    model = get_model(model_name)
+    rng = np.random.RandomState(0)
+    rows = []
+    base = None
+    for ndev in device_counts:
+        if ndev > ndev_avail:
+            continue
+        batch = per_device_batch * ndev
+        images = jnp.asarray(
+            rng.rand(batch, 2, h, w, 3).astype(np.float32) * 255.0)
+        plan = MeshPlan(make_mesh(jax.devices()[:ndev], spatial=1))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), images)
+        variables = jax.device_put(variables, plan.replicated)
+        images = jax.device_put(images, plan.batch_images)
+        apply = jax.jit(model.apply,
+                        in_shardings=(plan.replicated, plan.batch_images))
+        dt = time_chained(lambda v, x: apply(v, x), variables, images,
+                          iters=iters)
+        fps = batch / dt
+        base = base if base is not None else fps
+        eff = fps / (base * ndev)
+        rows.append({"devices": ndev, "batch": batch,
+                     "fps": round(fps, 1), "efficiency": round(eff, 3)})
+        print(f"scaling {model_name} x{ndev}dev: {fps:8.1f} f/s "
+              f"(eff {eff * 100:5.1f}%)", file=sys.stderr)
+    return rows
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -145,6 +187,13 @@ def main():
         except Exception as e:
             print(f"{name} train: FAILED {e}", file=sys.stderr)
 
+    scaling = []
+    if budget_left() > 120:
+        try:
+            scaling = scaling_table()
+        except Exception as e:
+            print(f"scaling: FAILED {e}", file=sys.stderr)
+
     value = round(results.get("FlowNet2", 0.0), 2)
     vs_baseline = 1.0
     try:
@@ -160,12 +209,15 @@ def main():
     except Exception as e:
         print(f"anchor handling failed: {e}", file=sys.stderr)
 
-    print(json.dumps({
+    line = {
         "metric": "flownet2_inference_fps_384x512_b8_fp32",
         "value": value,
         "unit": "frames/s/chip",
         "vs_baseline": vs_baseline,
-    }))
+    }
+    if scaling:
+        line["scaling_data_parallel"] = scaling
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -26,26 +26,61 @@ def _ckpt_dir(base, tag):
     return os.path.join(os.fspath(base), tag)
 
 
+def _replace_dir(src: pathlib.Path, dst: pathlib.Path) -> None:
+    """Atomically swap ``src`` into place at ``dst`` (rename-based: a crash
+    at any point leaves either the old or the new checkpoint intact, never
+    a half-deleted one — the rmtree-then-save window VERDICT r2 flagged)."""
+    old = dst.with_name(dst.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
+    if dst.exists():
+        dst.rename(old)
+    src.rename(dst)
+    if old.exists():
+        shutil.rmtree(old)
+
+
 def save_checkpoint(directory: str | os.PathLike, state: Any, epoch: int,
                     best_epe: float, is_best: bool = False,
                     tag: str = "train-checkpoint") -> str:
-    """Save TrainState + metadata; optionally copy to ``model_best``."""
+    """Save TrainState + metadata; optionally copy to ``model_best``.
+
+    Multi-host: EVERY process must call this (Orbax's save carries internal
+    cross-process barriers; skipping it on non-primary hosts deadlocks) —
+    only process 0 touches the filesystem around it.  ``state`` must be
+    host-fetchable (replicated params are; callers pass
+    ``jax.device_get(state)``).
+    """
     import orbax.checkpoint as ocp
 
     directory = pathlib.Path(directory)
-    directory.mkdir(parents=True, exist_ok=True)
     path = pathlib.Path(_ckpt_dir(directory, tag)).absolute()
-    if path.exists():
-        shutil.rmtree(path)
+    primary = jax.process_index() == 0
+    multiproc = jax.process_count() > 1
+    tmp = path.with_name(path.name + ".tmp")
+    if primary:
+        directory.mkdir(parents=True, exist_ok=True)
+        if tmp.exists():
+            shutil.rmtree(tmp)
+    if multiproc:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("flownet2_ckpt_pre")
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, jax.tree.map(np.asarray, jax.device_get(state)))
-    meta = {"epoch": int(epoch), "best_EPE": float(best_epe)}
-    (path / "meta.json").write_text(json.dumps(meta))
-    if is_best:
-        best = pathlib.Path(_ckpt_dir(directory, "model_best")).absolute()
-        if best.exists():
-            shutil.rmtree(best)
-        shutil.copytree(path, best)
+        ckptr.save(tmp, jax.tree.map(np.asarray, jax.device_get(state)))
+    if primary:
+        meta = {"epoch": int(epoch), "best_EPE": float(best_epe)}
+        (tmp / "meta.json").write_text(json.dumps(meta))
+        _replace_dir(tmp, path)
+        if is_best:
+            best = pathlib.Path(_ckpt_dir(directory, "model_best")).absolute()
+            btmp = best.with_name(best.name + ".tmp")
+            if btmp.exists():
+                shutil.rmtree(btmp)
+            shutil.copytree(path, btmp)
+            _replace_dir(btmp, best)
+    if multiproc:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("flownet2_ckpt_post")
     return str(path)
 
 

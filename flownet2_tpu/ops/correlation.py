@@ -171,10 +171,16 @@ def _dispatch(f1, f2, pad_size, kernel_size, max_displacement, stride1,
                                 max_displacement, stride1, stride2)
     if impl == "pallas":
         from . import correlation_pallas
-        if jax.default_backend() == "tpu" and correlation_pallas.supported(
-                f1, pad_size, kernel_size, max_displacement, stride1, stride2):
-            return correlation_pallas.correlation_pallas(
-                f1, f2, pad_size, max_displacement, stride2)
+        from .sharding_hints import kernel_wrapper
+        wrap = kernel_wrapper(f1.shape[0]) \
+            if jax.default_backend() == "tpu" and correlation_pallas.supported(
+                f1, pad_size, kernel_size, max_displacement, stride1, stride2) \
+            else None
+        if wrap is not None:
+            return wrap(functools.partial(
+                correlation_pallas.correlation_pallas,
+                pad_size=pad_size, max_displacement=max_displacement,
+                stride2=stride2))(f1, f2)
         if kernel_size == 1 and stride1 == 1 and pad_size == max_displacement:
             return _correlation_mxu(f1, f2, pad_size, kernel_size,
                                     max_displacement, stride1, stride2)
@@ -237,13 +243,18 @@ def _corr_bwd(pad_size, kernel_size, max_displacement, stride1, stride2,
     # TPU fast path: banded-matmul Pallas backward kernels (the equivalents
     # of correlation_cuda_kernel.cu:150-334's dedicated backward kernels).
     from . import correlation_pallas
+    from .sharding_hints import kernel_wrapper
     if (impl or _DEFAULT_IMPL) == "pallas" \
             and jax.default_backend() == "tpu" \
             and correlation_pallas.supported_bwd(
                 f1, pad_size, kernel_size, max_displacement, stride1, stride2):
-        d_f1, d_f2 = correlation_pallas.correlation_pallas_bwd(
-            g, f1, f2, pad_size, max_displacement, stride2)
-        return d_f1.astype(f1.dtype), d_f2.astype(f2.dtype)
+        wrap = kernel_wrapper(f1.shape[0])
+        if wrap is not None:
+            d_f1, d_f2 = wrap(functools.partial(
+                correlation_pallas.correlation_pallas_bwd,
+                pad_size=pad_size, max_displacement=max_displacement,
+                stride2=stride2))(g, f1, f2)
+            return d_f1.astype(f1.dtype), d_f2.astype(f2.dtype)
 
     nelems = float(channels)
     maxd = max_displacement

@@ -68,14 +68,20 @@ def set_use_pallas(flag) -> None:
     _USE_PALLAS = flag
 
 
-def _pallas_enabled(img, kernel_size, bilinear) -> bool:
+def _pallas_wrapper(img, kernel_size, bilinear):
+    """The composition to call a Pallas kernel with under the current
+    backend/mesh (identity or a data-axis shard_map), or None to use the
+    XLA fallback (ops/sharding_hints.py)."""
     from . import resample2d_pallas
+    from .sharding_hints import kernel_wrapper
 
     if not resample2d_pallas.supported(img, kernel_size, bilinear):
-        return False
-    if _USE_PALLAS is not None:
-        return _USE_PALLAS
-    return jax.default_backend() == "tpu"
+        return None
+    if _USE_PALLAS is False:
+        return None
+    if _USE_PALLAS is None and jax.default_backend() != "tpu":
+        return None
+    return kernel_wrapper(img.shape[0])
 
 
 def _resample2d_bilinear_impl(img, flow, kernel_size):
@@ -126,11 +132,12 @@ def resample2d(img: jax.Array, flow: jax.Array, kernel_size: int = 1,
       bilinear: bilinear vs nearest sampling.
     """
     if bilinear:
-        if _pallas_enabled(img, kernel_size, bilinear):
+        wrap = _pallas_wrapper(img, kernel_size, bilinear)
+        if wrap is not None:
             # The kernel handles bf16 planes natively (coordinates stay f32).
             from .resample2d_pallas import resample2d_bilinear_pallas
 
-            return resample2d_bilinear_pallas(img, flow)
+            return wrap(resample2d_bilinear_pallas)(img, flow)
         if img.dtype == jnp.bfloat16:
             # XLA fallback: warp in f32 (cheap: 3-channel images), return
             # bf16 — avoids bf16 coordinate precision loss
@@ -181,11 +188,12 @@ def _resample2d_bwd(kernel_size, bilinear, res, g):
     # cascade (the image operand of every warp is a network *input*, so its
     # scatter-add gradient below is dead code XLA removes; the flow gradient
     # feeds the upstream nets and must be fast).
-    use_pallas_dflow = _pallas_enabled(img, kernel_size, bilinear)
+    wrap = _pallas_wrapper(img, kernel_size, bilinear)
+    use_pallas_dflow = wrap is not None
     if use_pallas_dflow:
         from .resample2d_pallas import resample2d_grad_flow_pallas
 
-        d_flow_pallas = resample2d_grad_flow_pallas(g, img, flow)
+        d_flow_pallas = wrap(resample2d_grad_flow_pallas)(g, img, flow)
 
     for fy in range(kernel_size):
         for fx in range(kernel_size):

@@ -57,13 +57,40 @@ _TH, _TW = 8, 128
 _VMEM_RESIDENT_BUDGET = 8 * 1024 * 1024
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def supported(img: jax.Array, kernel_size: int, bilinear: bool) -> bool:
     _, h, w, c = img.shape
-    resident = h * w * c * img.dtype.itemsize
+    hp, wp = _round_up(h, _TH), _round_up(w, _TW)
+    resident = hp * wp * c * img.dtype.itemsize
     return (bilinear and kernel_size == 1
             and img.dtype in (jnp.float32, jnp.bfloat16)
-            and h % _TH == 0 and w % _TW == 0
             and resident <= _VMEM_RESIDENT_BUDGET)
+
+
+def _pad_edge(img: jax.Array, flow: jax.Array, g: jax.Array | None = None):
+    """Pad H to a multiple of 8 and W to a multiple of 128.
+
+    The *image* is edge-replicated: the kernels clamp corner indices to the
+    padded extent, and for clamped bilinear sampling reading a replicated
+    edge column/row is bit-identical to clamping at the true edge (both
+    corners collapse to the same edge texel; the lerp of equal values is
+    that value).  The flow / cotangent pads are zeros — those positions are
+    sliced off (forward) or contribute zero (backward).  This keeps the
+    benchmark-critical non-x128 widths (e.g. the 448-wide training crop,
+    whose fallback XLA gather dominated the train step) on the kernel path.
+    """
+    _, h, w, _ = img.shape
+    ph, pw = _round_up(h, _TH) - h, _round_up(w, _TW) - w
+    if ph == 0 and pw == 0:
+        return img, flow, g
+    img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    flow = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    if g is not None:
+        g = jnp.pad(g, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return img, flow, g
 
 
 def _coords(dx, dy, r, c, height, width):
@@ -182,6 +209,8 @@ def _planes(x):
 @jax.jit
 def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
     """Forward bilinear warp; img (B, H, W, C) f32/bf16, flow (B, H, W, 2)."""
+    true_h, true_w = img.shape[1:3]
+    img, flow, _ = _pad_edge(img, flow)
     batch, height, width, channels = img.shape
     planes = _planes(img)
     dx = flow[..., 0].astype(jnp.float32)
@@ -208,7 +237,7 @@ def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((batch, channels, height, width),
                                        img.dtype),
     )(dx, dy, planes)
-    return jnp.transpose(out, (0, 2, 3, 1))
+    return jnp.transpose(out, (0, 2, 3, 1))[:, :true_h, :true_w]
 
 
 @jax.jit
@@ -219,6 +248,8 @@ def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
     g: (B, H, W, C) cotangent of the warp output; img, flow as forward.
     Returns (B, H, W, 2) f32.
     """
+    true_h, true_w = img.shape[1:3]
+    img, flow, g = _pad_edge(img, flow, g)
     batch, height, width, channels = img.shape
     planes = _planes(img)
     gplanes = _planes(g)
@@ -254,4 +285,4 @@ def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
             jax.ShapeDtypeStruct((batch, height, width), jnp.float32),
         ),
     )(dx, dy, planes, gplanes)
-    return jnp.stack([ddx, ddy], axis=-1)
+    return jnp.stack([ddx, ddy], axis=-1)[:, :true_h, :true_w]

@@ -34,21 +34,50 @@ SPATIAL_AXIS = "spatial"
 
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> None:
-    """Multi-host bring-up (no-op single-host)."""
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host bring-up.  Explicit args win; otherwise auto-configures
+    from the standard JAX env vars (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a TPU pod's metadata) via
+    ``jax.distributed.initialize()``.  No-op (returns False) when neither
+    is present — single-host runs need no service."""
+    import os
+
     if num_processes and num_processes > 1:
         jax.distributed.initialize(coordinator, num_processes, process_id)
+        return True
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # env-driven (JAX's auto-detect only covers managed clusters —
+        # SLURM/GKE — so read the standard variables explicitly)
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+        return True
+    return False
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               spatial: int = 1) -> Mesh:
-    """(n/spatial, spatial) mesh over ``devices`` with (data, spatial) axes."""
+    """(n/spatial, spatial) mesh over ``devices`` with (data, spatial) axes.
+
+    Registers the mesh with the ops-layer sharding hints: Pallas kernels
+    inside steps traced under a data-sharded mesh run through a data-axis
+    ``shard_map`` (the canonical distributed-Pallas composition), while a
+    non-trivial spatial axis routes them to their XLA fallbacks (GSPMD
+    halo-partitions those; it cannot partition an opaque custom call along
+    H).  ops/sharding_hints.py; pinned by tests/test_pallas_sharding.py.
+    """
+    from ..ops.sharding_hints import set_active_mesh
+
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n % spatial:
         raise ValueError(f"{n} devices not divisible by spatial={spatial}")
     arr = np.asarray(devices).reshape(n // spatial, spatial)
-    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+    mesh = Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+    set_active_mesh(mesh, spatial > 1)
+    return mesh
 
 
 @dataclasses.dataclass(frozen=True)

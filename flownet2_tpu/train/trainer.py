@@ -45,7 +45,12 @@ class Trainer:
         """factory: train.state.StepFactory."""
         self.factory = factory
         self.config = config
-        self.logger = MetricLogger(config.save_dir, config.run_name)
+        # Multi-host: only process 0 owns the metric/TB/checkpoint files —
+        # every-process writes would interleave/corrupt them (the reference
+        # is single-process and has no such guard).
+        self.is_writer = jax.process_index() == 0
+        self.logger = MetricLogger(
+            config.save_dir if self.is_writer else None, config.run_name)
         self._train_step = factory.train_step()
         self._eval_step = factory.eval_step()
         self.best_epe = float("inf")
@@ -57,7 +62,7 @@ class Trainer:
         # reference's two train/validation SummaryWriters (main.py:228-229,
         # 315-327) — written by the dependency-free utils.tensorboard
         self.tb_train = self.tb_val = None
-        if config.tensorboard:
+        if config.tensorboard and self.is_writer:
             import os
             from ..utils.tensorboard import SummaryWriter
             self.tb_train = SummaryWriter(
@@ -185,6 +190,8 @@ class Trainer:
                 epe = means.get("epe", float("inf"))
                 is_best = epe < self.best_epe
                 self.best_epe = min(self.best_epe, epe)
+                # every process calls: Orbax's internal barriers require it;
+                # only process 0 writes (checkpoints/native.py)
                 save_checkpoint(cfg.save_dir, jax.device_get(state), epoch,
                                 self.best_epe, is_best=is_best, tag="checkpoint")
 
@@ -228,7 +235,18 @@ class Trainer:
             epe_sum += float(sums["epe_sum"])
             count += int(sums["count"])
             if save_flow_dir or visualize_dir:
-                # only this batch's real (unpadded) samples
+                # only this batch's real (unpadded) samples; multi-host
+                # global arrays are gathered to every host first (a plain
+                # np.asarray throws on non-fully-addressable arrays), and
+                # only process 0 writes files
+                if isinstance(flows, jax.Array) \
+                        and not flows.is_fully_addressable:
+                    from jax.experimental import multihost_utils
+                    flows = multihost_utils.process_allgather(
+                        flows, tiled=True)
+                if not self.is_writer:
+                    n += int(n_valid)
+                    continue
                 flows_np = np.asarray(flows)[:n_valid]
                 for f in flows_np:
                     if save_flow_dir:

@@ -119,3 +119,44 @@ class TestShapes:
                                  mutable=["batch_stats"]))(v, x)
         assert out[0].shape == (2, H // 4, W // 4, 2)
         assert "batch_stats" in updates
+
+
+class TestPackedConv:
+    """conv3x3_s1_packed must be numerically the same conv (values and
+    grads) — it rearranges compute for MXU lane width, nothing else.  The
+    full-res layers it serves (Fusion/SD conv0, interconvs, predict_flow0)
+    are above the _PACK_MIN_PIXELS threshold; the torch-parity suite runs
+    below it, so this test pins the equivalence directly."""
+
+    def _direct(self, x, kernel):
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def test_matches_direct_conv(self):
+        from flownet2_tpu.nn.layers import conv3x3_s1_packed
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 16, 20, 5).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+        got = np.asarray(conv3x3_s1_packed(x, k, jnp.float32))
+        want = np.asarray(self._direct(x, k))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_grads_match(self):
+        from flownet2_tpu.nn.layers import conv3x3_s1_packed
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 8, 12, 3).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32))
+
+        def loss_packed(xx, kk):
+            return jnp.sum(conv3x3_s1_packed(xx, kk, jnp.float32) ** 2)
+
+        def loss_direct(xx, kk):
+            return jnp.sum(self._direct(xx, kk) ** 2)
+
+        gx1, gk1 = jax.grad(loss_packed, argnums=(0, 1))(x, k)
+        gx2, gk2 = jax.grad(loss_direct, argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                                   rtol=1e-4, atol=1e-4)

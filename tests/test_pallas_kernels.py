@@ -61,10 +61,26 @@ class TestResample2dPallas:
         assert supported(ok.astype(jnp.bfloat16), 1, True)  # bf16 planes ok
         assert not supported(ok, 2, True)          # tap window
         assert not supported(ok, 1, False)         # nearest
-        assert not supported(jnp.zeros((1, 16, 100, 3)), 1, True)  # W % 128
+        # non-x128 widths / non-x8 heights are edge-pad supported now (the
+        # 448-wide training crop fell off the kernel path before)
+        assert supported(jnp.zeros((1, 16, 100, 3)), 1, True)
+        assert supported(jnp.zeros((1, 12, 448, 3)), 1, True)
         assert not supported(ok.astype(jnp.int32), 1, True)        # dtype
         big = jnp.zeros((1, 1024, 1024, 8), jnp.float32)
         assert not supported(big, 1, True)         # VMEM residency
+
+    def test_nonaligned_width_matches_xla(self):
+        """448-wide (the training-crop shape) goes through edge-replicate
+        padding; clamped sampling must be bit-equal to the unpadded XLA
+        impl, including flows pointing past the right/bottom edges."""
+        img = _rand((1, 12, 112, 3), 30)
+        flow = _rand((1, 12, 112, 2), 31, 40.0)  # spills past every edge
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(resample2d_bilinear_pallas(img, flow))
+        want = np.asarray(
+            jax.jit(lambda i, f: _resample2d_bilinear_impl(i, f, 1))(img, flow))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
     def test_bf16_forward(self):
         img = _rand((self.B, self.H, self.W, self.C), 7).astype(jnp.bfloat16)
@@ -98,6 +114,18 @@ class TestResample2dGradFlowPallas:
 
     def test_large_flow_crosses_blocks(self):
         self._compare(60.0, 12)
+
+    def test_nonaligned_width_matches_xla(self):
+        """Flow-grad at a non-x128 width via edge padding: zero-padded
+        cotangent contributes nothing, replicated edges reproduce the
+        clamped analytic derivative exactly."""
+        img = _rand((1, 12, 112, 3), 32)
+        flow = _rand((1, 12, 112, 2), 33, 40.0)
+        g = _rand((1, 12, 112, 3), 34)
+        _, want = _resample2d_bwd(1, True, (img, flow), g)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(resample2d_grad_flow_pallas(g, img, flow))
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
 class TestCorrelationPallas:

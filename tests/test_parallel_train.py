@@ -339,3 +339,23 @@ def test_trainer_integration(tmp_path, factory_single, state_single):
     restored = trainer2.resume(jax.device_get(state))
     assert trainer2.start_epoch == 2
     assert int(np.asarray(restored.step)) == 4
+
+
+def test_bench_scaling_table_runs_multi_device():
+    """BASELINE.md protocol step 4 harness: the data-parallel scaling
+    table in bench.py must run at N>1 devices (here the CPU mesh) and
+    report positive throughput + efficiency per row."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    rows = bench.scaling_table(model_name="FlowNet2S", per_device_batch=1,
+                               h=64, w=64, device_counts=(1, 2), iters=3)
+    assert [r["devices"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["fps"] > 0
+        assert 0 < r["efficiency"] <= 1.5
+    assert rows[0]["efficiency"] == 1.0
