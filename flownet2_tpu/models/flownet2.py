@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.layers import cat
-from ..ops import channel_norm, resample2d, upsample_bilinear, upsample_nearest
+from ..ops import (channel_norm, channel_norm_multi, resample2d,
+                   upsample_bilinear, upsample_nearest)
 from .flownet_c import FlowNetC
 from .flownet_s import FlowNetS
 from .flownet_sd import FlowNetFusion, FlowNetSD
@@ -94,22 +95,22 @@ class FlowNet2(nn.Module):
         flownets2_flow2 = FlowNetS(12, self.batch_norm, self.dtype,
                                    name="flownets_2")(concat2, False, train_bn)[0]
         flownets2_flow = upsample_nearest(flownets2_flow2 * self.div_flow, 4)
-        norm_flownets2_flow = channel_norm(flownets2_flow)
         diff_flownets2_flow = resample2d(x2, flownets2_flow)
-        diff_flownets2_img1 = channel_norm(x1 - diff_flownets2_flow)
 
         # flownetsd (nearest upsample + divide — models.py:70,167)
         flownetsd_flow2 = FlowNetSD(self.batch_norm, self.dtype,
                                     name="flownets_d")(x, False, train_bn)[0]
         flownetsd_flow = upsample_nearest(flownetsd_flow2 / self.div_flow, 4)
-        norm_flownetsd_flow = channel_norm(flownetsd_flow)
         diff_flownetsd_flow = resample2d(x2, flownetsd_flow)
-        diff_flownetsd_img1 = channel_norm(x1 - diff_flownetsd_flow)
 
-        # fusion (channel order: models.py:179)
-        concat3 = cat([x1, flownetsd_flow, flownets2_flow,
-                       norm_flownetsd_flow, norm_flownets2_flow,
-                       diff_flownetsd_img1, diff_flownets2_img1])
+        # fusion (channel order: models.py:179).  The four 1-channel norm
+        # maps are computed packed (ops.channel_norm_multi): identical
+        # values and backward, one 4-channel tensor instead of four
+        # lane-padded (B, H, W, 1) pieces in the concat's backward split.
+        norms = channel_norm_multi(
+            flownetsd_flow, flownets2_flow,
+            x1 - diff_flownetsd_flow, x1 - diff_flownets2_flow)
+        concat3 = cat([x1, flownetsd_flow, flownets2_flow, norms])
         flownetfusion_flow = FlowNetFusion(self.batch_norm, self.dtype,
                                            name="flownetfusion")(concat3, train_bn)
         return flownetfusion_flow

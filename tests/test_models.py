@@ -160,3 +160,33 @@ class TestPackedConv:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestTransposedConvVJP:
+    """_tconv421's custom backward (transpose of the dilated formulation)
+    must equal autodiff of the phase forward — same linear map."""
+
+    def test_formulations_and_grads_agree(self):
+        from flownet2_tpu.nn.layers import (_tconv421, _tconv_dilated,
+                                            _tconv_phase)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 8, 12, 5).astype(np.float32))
+        k = jnp.asarray(rng.randn(4, 4, 5, 3).astype(np.float32))
+
+        a = np.asarray(_tconv_phase(x, k))
+        b = np.asarray(_tconv_dilated(x, k))
+        assert a.shape == b.shape == (2, 16, 24, 3)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+        def loss_custom(x, k):
+            return jnp.sum(_tconv421(x, k) ** 2)
+
+        def loss_ref(x, k):
+            return jnp.sum(_tconv_phase(x, k) ** 2)
+
+        gx1, gk1 = jax.grad(loss_custom, argnums=(0, 1))(x, k)
+        gx2, gk2 = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                                   rtol=1e-4, atol=1e-4)

@@ -74,3 +74,44 @@ class TestAvgPool:
             torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
         got = np.asarray(avg_pool(jnp.array(x), 4))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestChannelNormMulti:
+    """Packed multi-input channel norm == concat of per-input norms, values
+    and (1e-9-guarded) gradients."""
+
+    def test_matches_unpacked(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from flownet2_tpu.ops import channel_norm, channel_norm_multi
+
+        rng = np.random.RandomState(0)
+        xs = [jnp.asarray(rng.randn(2, 8, 8, c).astype(np.float32))
+              for c in (2, 2, 3, 3)]
+        got = channel_norm_multi(*xs)
+        want = jnp.concatenate([channel_norm(x) for x in xs], -1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+        def f_packed(*xs):
+            return jnp.sum(channel_norm_multi(*xs) ** 2)
+
+        def f_unpacked(*xs):
+            return sum(jnp.sum(channel_norm(x) ** 2) for x in xs)
+
+        gp = jax.grad(f_packed, argnums=tuple(range(4)))(*xs)
+        gu = jax.grad(f_unpacked, argnums=tuple(range(4)))(*xs)
+        for a, b in zip(gp, gu):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_guard_at_zero(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from flownet2_tpu.ops import channel_norm_multi
+
+        x = jnp.zeros((1, 4, 4, 2))
+        g = jax.grad(lambda a: jnp.sum(channel_norm_multi(a, a + 1.0)))(x)
+        assert np.isfinite(np.asarray(g)).all()
