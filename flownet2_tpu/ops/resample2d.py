@@ -149,13 +149,62 @@ def resample2d(img: jax.Array, flow: jax.Array, kernel_size: int = 1,
 
 
 def _resample2d_fwd(img, flow, kernel_size, bilinear):
+    # Training-path forward: the Pallas kernel can emit the analytic flow
+    # tangents (d out/d dx, d out/d dy) in the same gather sweep, making
+    # the backward a pure elementwise contraction instead of a second
+    # full sweep (which cost as much as the forward, 4-9 ms per warp b8).
+    if bilinear:
+        wrap = _pallas_wrapper(img, kernel_size, bilinear)
+        if wrap is not None:
+            from .resample2d_pallas import resample2d_bilinear_tangents_pallas
+
+            out, d1, d2 = wrap(resample2d_bilinear_tangents_pallas)(img, flow)
+            return out, (img, flow, (d1, d2))
     out = resample2d(img, flow, kernel_size, bilinear)
-    return out, (img, flow)
+    return out, (img, flow, None)
+
+
+def _scatter_d_img(img, flow, g, kernel_size, height, width):
+    """Image gradient: transpose scatter-add of the bilinear taps.  Dead
+    code in every model graph (warp inputs are leaves; XLA DCEs it) —
+    implemented for completeness vs resample2d_kernel.cu:75-125."""
+    alpha, beta, xL, xR, yT, yB = _bilinear_parts(flow, height, width)
+    a = alpha[..., None].astype(img.dtype)
+    b = beta[..., None].astype(img.dtype)
+    d_img = jnp.zeros_like(img)
+
+    def scatter(acc, yi, xi, w):
+        return jax.vmap(lambda zi, y, x, gg: zi.at[y, x].add(gg))(
+            acc, yi, xi, w * g)
+
+    for fy in range(kernel_size):
+        for fx in range(kernel_size):
+            yTs = jnp.minimum(yT + fy, height - 1) if fy else yT
+            yBs = jnp.minimum(yB + fy, height - 1) if fy else yB
+            xLs = jnp.minimum(xL + fx, width - 1) if fx else xL
+            xRs = jnp.minimum(xR + fx, width - 1) if fx else xR
+            d_img = scatter(d_img, yTs, xLs, (1 - a) * (1 - b))
+            d_img = scatter(d_img, yTs, xRs, a * (1 - b))
+            d_img = scatter(d_img, yBs, xLs, (1 - a) * b)
+            d_img = scatter(d_img, yBs, xRs, a * b)
+    return d_img
 
 
 def _resample2d_bwd(kernel_size, bilinear, res, g):
-    img, flow = res
+    img, flow, tangents = res
     _, height, width, channels = img.shape
+
+    if tangents is not None:
+        # saved-tangent fast path: d_flow = (sum_c g*d1, sum_c g*d2); the
+        # image gradient stays the XLA scatter below (dead code in every
+        # model graph — warp inputs are leaves — and DCE'd by XLA)
+        d1, d2 = tangents
+        gf = g.astype(jnp.float32)
+        d_flow = jnp.stack([jnp.sum(gf * d1, axis=-1),
+                            jnp.sum(gf * d2, axis=-1)],
+                           axis=-1).astype(flow.dtype)
+        d_img = _scatter_d_img(img, flow, g, kernel_size, height, width)
+        return d_img, d_flow
 
     if not bilinear:
         # Nearest: image grad is a pure scatter, flow grad is zero

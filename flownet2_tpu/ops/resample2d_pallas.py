@@ -169,6 +169,55 @@ def _fwd_kernel(dx_ref, dy_ref, img_ref, out_ref, *, height, width, channels):
         out_ref[0, ch] = acc[ch].astype(out_ref.dtype)
 
 
+def _fwd_tangents_kernel(dx_ref, dy_ref, img_ref, out_ref, d1_ref, d2_ref, *,
+                         height, width, channels):
+    """Forward warp + the analytic flow tangents, one sweep.
+
+    d1[c] = dout_c/d(dx) = (1-b)(iTR-iTL) + b(iBR-iBL)
+    d2[c] = dout_c/d(dy) = (1-a)(iBL-iTL) + a(iBR-iTR)
+
+    Saving (d1, d2) as VJP residuals makes the training backward a pure
+    elementwise contraction  d_flow = (sum_c g_c*d1_c, sum_c g_c*d2_c) —
+    no second gather sweep.  The sweep costs ~8 extra multiply-adds per
+    (block, source-row, channel) over the plain forward; the dedicated
+    backward kernel it replaces re-ran the whole sweep (~equal to a full
+    forward, 4-9 ms per warp at b8 with real flows)."""
+    r = pl.program_id(1)
+    c = pl.program_id(2)
+    a, b, xL, xR, yT, yB = _coords(dx_ref[0], dy_ref[0], r, c, height, width)
+    wTL = (1 - a) * (1 - b)
+    wTR = a * (1 - b)
+    wBL = (1 - a) * b
+    wBR = a * b
+    cxTL, cyTL = -(1 - b), -(1 - a)
+    cxTR, cyTR = (1 - b), -a
+    cxBL, cyBL = -b, (1 - a)
+    cxBR, cyBR = b, a
+
+    def accum(acc, ch, gL, gR, mTL, mTR, mBL, mBR):
+        out_a, d1_a, d2_a = acc
+        tTL = jnp.where(mTL, gL, 0.0)
+        tTR = jnp.where(mTR, gR, 0.0)
+        tBL = jnp.where(mBL, gL, 0.0)
+        tBR = jnp.where(mBR, gR, 0.0)
+        out_c = out_a[ch] + (wTL * tTL + wTR * tTR + wBL * tBL + wBR * tBR)
+        d1_c = d1_a[ch] + (cxTL * tTL + cxTR * tTR + cxBL * tBL + cxBR * tBR)
+        d2_c = d2_a[ch] + (cyTL * tTL + cyTR * tTR + cyBL * tBL + cyBR * tBR)
+        return (out_a[:ch] + [out_c] + out_a[ch + 1:],
+                d1_a[:ch] + [d1_c] + d1_a[ch + 1:],
+                d2_a[:ch] + [d2_c] + d2_a[ch + 1:])
+
+    zeros = lambda: [jnp.zeros((_TH, _TW), jnp.float32)
+                     for _ in range(channels)]
+    init = (zeros(), zeros(), zeros())
+    out_a, d1_a, d2_a = _block_sweep(img_ref, channels, xL, xR, yT, yB,
+                                     accum, init)
+    for ch in range(channels):
+        out_ref[0, ch] = out_a[ch].astype(out_ref.dtype)
+        d1_ref[0, ch] = d1_a[ch]
+        d2_ref[0, ch] = d2_a[ch]
+
+
 def _grad_flow_kernel(dx_ref, dy_ref, img_ref, g_ref, ddx_ref, ddy_ref, *,
                       height, width, channels):
     r = pl.program_id(1)
@@ -238,6 +287,51 @@ def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
                                        img.dtype),
     )(dx, dy, planes)
     return jnp.transpose(out, (0, 2, 3, 1))[:, :true_h, :true_w]
+
+
+@jax.jit
+def resample2d_bilinear_tangents_pallas(img: jax.Array, flow: jax.Array):
+    """Forward warp + analytic flow tangents (training-path forward).
+
+    Returns (out (B,H,W,C) in img dtype, d1, d2 both (B,H,W,C) f32) with
+    d1/d2 = d out/d dx|dy — see _fwd_tangents_kernel.
+    """
+    true_h, true_w = img.shape[1:3]
+    img, flow, _ = _pad_edge(img, flow)
+    batch, height, width, channels = img.shape
+    planes = _planes(img)
+    dx = flow[..., 0].astype(jnp.float32)
+    dy = flow[..., 1].astype(jnp.float32)
+
+    grid = (batch, height // _TH, width // _TW)
+    kernel = functools.partial(_fwd_tangents_kernel, height=height,
+                               width=width, channels=channels)
+    pspec = lambda: pl.BlockSpec((1, channels, _TH, _TW),
+                                 lambda b, r, c: (b, 0, r, c),
+                                 memory_space=pltpu.VMEM)
+    out, d1, d2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, channels, height, width),
+                         lambda b, r, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pspec(), pspec(), pspec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, channels, height, width), img.dtype),
+            jax.ShapeDtypeStruct((batch, channels, height, width),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((batch, channels, height, width),
+                                 jnp.float32),
+        ),
+    )(dx, dy, planes)
+    unp = lambda x: jnp.transpose(x, (0, 2, 3, 1))[:, :true_h, :true_w]
+    return unp(out), unp(d1), unp(d2)
 
 
 @jax.jit

@@ -104,7 +104,7 @@ class TestResample2dGradFlowPallas:
         flow = _rand((self.B, self.H, self.W, 2), seed + 1, flow_scale)
         g = _rand((self.B, self.H, self.W, self.C), seed + 2)
         # XLA path (pallas disabled on CPU by default)
-        _, want = _resample2d_bwd(1, True, (img, flow), g)
+        _, want = _resample2d_bwd(1, True, (img, flow, None), g)
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(resample2d_grad_flow_pallas(g, img, flow))
         np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
@@ -122,7 +122,7 @@ class TestResample2dGradFlowPallas:
         img = _rand((1, 12, 112, 3), 32)
         flow = _rand((1, 12, 112, 2), 33, 40.0)
         g = _rand((1, 12, 112, 3), 34)
-        _, want = _resample2d_bwd(1, True, (img, flow), g)
+        _, want = _resample2d_bwd(1, True, (img, flow, None), g)
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(resample2d_grad_flow_pallas(g, img, flow))
         np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
@@ -269,3 +269,81 @@ class TestCorrelationPallasWide:
                 correlation_pallas.correlation_pallas(f1, f2, 20, 20, 2))
         assert got.shape == want.shape == (1, 8, 128, 441)
         np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+
+
+class TestResample2dTangents:
+    """The tangent-saving forward kernel: out must equal the plain forward,
+    and (d1, d2) must reproduce the analytic flow gradient when contracted
+    with a cotangent — i.e. the training fast path equals the dedicated
+    backward."""
+
+    B, H, W, C = 2, 16, 128, 3
+
+    def _data(self, flow_scale, seed):
+        img = _rand((self.B, self.H, self.W, self.C), seed)
+        flow = _rand((self.B, self.H, self.W, 2), seed + 1, flow_scale)
+        g = _rand((self.B, self.H, self.W, self.C), seed + 2)
+        return img, flow, g
+
+    @pytest.mark.parametrize("scale", [2.0, 60.0])
+    def test_matches_analytic_backward(self, scale):
+        from flownet2_tpu.ops.resample2d_pallas import (
+            resample2d_bilinear_tangents_pallas,
+        )
+
+        img, flow, g = self._data(scale, 40)
+        with pltpu.force_tpu_interpret_mode():
+            out, d1, d2 = resample2d_bilinear_tangents_pallas(img, flow)
+        want_out = np.asarray(
+            jax.jit(lambda i, f: _resample2d_bilinear_impl(i, f, 1))(img, flow))
+        np.testing.assert_allclose(np.asarray(out), want_out,
+                                   rtol=1e-5, atol=1e-5)
+
+        d_flow = np.stack(
+            [np.sum(np.asarray(g) * np.asarray(d1), -1),
+             np.sum(np.asarray(g) * np.asarray(d2), -1)], -1)
+        _, want_flow = _resample2d_bwd(1, True, (img, flow, None), g)
+        np.testing.assert_allclose(d_flow, np.asarray(want_flow),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_vjp_fast_path_end_to_end(self):
+        """Force the Pallas path: jax.grad through resample2d must use the
+        saved tangents and agree with the XLA analytic backward."""
+        import importlib
+        r2 = importlib.import_module("flownet2_tpu.ops.resample2d")
+
+        img, flow, g = self._data(8.0, 50)
+
+        def loss(f):
+            return jnp.sum(r2.resample2d(img, f) * g)
+
+        want = np.asarray(jax.grad(loss)(flow))
+        r2.set_use_pallas(True)
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(jax.grad(loss)(flow))
+        finally:
+            r2.set_use_pallas(None)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_nonaligned_width(self):
+        from flownet2_tpu.ops.resample2d_pallas import (
+            resample2d_bilinear_tangents_pallas,
+        )
+
+        img = _rand((1, 12, 112, 3), 60)
+        flow = _rand((1, 12, 112, 2), 61, 40.0)
+        g = _rand((1, 12, 112, 3), 62)
+        with pltpu.force_tpu_interpret_mode():
+            out, d1, d2 = resample2d_bilinear_tangents_pallas(img, flow)
+        assert out.shape == (1, 12, 112, 3)
+        want_out = np.asarray(
+            jax.jit(lambda i, f: _resample2d_bilinear_impl(i, f, 1))(img, flow))
+        np.testing.assert_allclose(np.asarray(out), want_out,
+                                   rtol=1e-5, atol=1e-5)
+        d_flow = np.stack(
+            [np.sum(np.asarray(g) * np.asarray(d1), -1),
+             np.sum(np.asarray(g) * np.asarray(d2), -1)], -1)
+        _, want_flow = _resample2d_bwd(1, True, (img, flow, None), g)
+        np.testing.assert_allclose(d_flow, np.asarray(want_flow),
+                                   rtol=1e-4, atol=1e-4)

