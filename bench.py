@@ -177,6 +177,18 @@ def main():
         except Exception as e:  # keep the headline JSON alive
             print(f"{name}: FAILED {e}", file=sys.stderr)
 
+    # Train-step sub-metrics (width 448: divisible by 64, fits VMEM paths).
+    # These run BEFORE the wide-resolution entry: the train step is the
+    # round-over-round perf metric and must not be budget-starved.
+    for name, need in (("FlowNet2C", 120), ("FlowNet2", 400)):
+        if budget_left() < need:
+            print(f"{name} train: skipped (budget)", file=sys.stderr)
+            continue
+        try:
+            bench_train(name, batch, 384, 448, results)
+        except Exception as e:
+            print(f"{name} train: FAILED {e}", file=sys.stderr)
+
     # Sintel-native resolution (436x1024 snaps to 384x1024): corr width 128
     # exercises the wide-W column-chunked correlation kernel on hardware
     # (the parity-protocol shape class; VERDICT r2 missing #2).
@@ -193,16 +205,6 @@ def main():
             del variables
         except Exception as e:
             print(f"FlowNet2 @384x1024: FAILED {e}", file=sys.stderr)
-
-    # Train-step sub-metrics (width 448: divisible by 64, fits VMEM paths).
-    for name, need in (("FlowNet2C", 120), ("FlowNet2", 400)):
-        if budget_left() < need:
-            print(f"{name} train: skipped (budget)", file=sys.stderr)
-            continue
-        try:
-            bench_train(name, batch, 384, 448, results)
-        except Exception as e:
-            print(f"{name} train: FAILED {e}", file=sys.stderr)
 
     scaling = []
     if budget_left() > 120:

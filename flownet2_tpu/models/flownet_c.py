@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.layers import ConvBlock, Deconv, PredictFlow, UpsampleFlow, cat, leaky_relu
@@ -34,13 +35,28 @@ class FlowNetC(nn.Module):
         conv2 = conv(128, 5, 2, "conv2")
         conv3 = conv(256, 5, 2, "conv3")
 
-        # Siamese towers, shared weights (FlowNetC.py:75-85)
-        out_conv1a = conv1(x1, train_bn)
-        out_conv2a = conv2(out_conv1a, train_bn)
-        out_conv3a = conv3(out_conv2a, train_bn)
-        out_conv1b = conv1(x2, train_bn)
-        out_conv2b = conv2(out_conv1b, train_bn)
-        out_conv3b = conv3(out_conv2b, train_bn)
+        # Siamese towers, shared weights (FlowNetC.py:75-85).  The two
+        # streams are batch-stacked into single conv calls — identical math
+        # (convs are per-sample), half the kernel launches and double the
+        # batch per MXU pass.  Exception: train-mode BatchNorm, where the
+        # reference's sequential calls normalise each stream with its own
+        # batch statistics — stacking would mix them.
+        batch = x1.shape[0]
+        if self.batch_norm and train_bn:
+            out_conv1a = conv1(x1, train_bn)
+            out_conv2a = conv2(out_conv1a, train_bn)
+            out_conv3a = conv3(out_conv2a, train_bn)
+            out_conv1b = conv1(x2, train_bn)
+            out_conv2b = conv2(out_conv1b, train_bn)
+            out_conv3b = conv3(out_conv2b, train_bn)
+        else:
+            x12 = jnp.concatenate([x1, x2], axis=0)  # (2B, H, W, 3)
+            out_conv1 = conv1(x12, train_bn)
+            out_conv2 = conv2(out_conv1, train_bn)
+            out_conv3 = conv3(out_conv2, train_bn)
+            out_conv2a = out_conv2[:batch]
+            out_conv3a = out_conv3[:batch]
+            out_conv3b = out_conv3[batch:]
 
         out_corr = correlation(
             out_conv3a, out_conv3b, pad_size=20, kernel_size=1,
