@@ -110,8 +110,94 @@ def conv3x3_s1_packed(x: jax.Array, kernel: jax.Array,
     return out.reshape(batch, height, width, co)
 
 
+def conv3x3_s1_tap(x: jax.Array, kernel: jax.Array, dtype: Dtype) -> jax.Array:
+    """Exact 'SAME' 3x3/s1 conv as ONE matmul with the 9 taps packed into
+    the output lanes, + 9 statically-shifted adds.
+
+    XLA's direct conv at Cout=2 (predict_flow at full resolution) runs at
+    ~0.3 TF/s on v5e — the 128-lane MXU output is 98% idle.  Packing taps
+    gives N = 9*Cout lanes and a dense (BHW, Cin) @ (Cin, 9*Cout) dot;
+    measured 3.2 -> 1.7 ms for 16->2 @ b8 384x512.  Only profitable when
+    the U = (B, H, W, 9*Cout) intermediate is small, i.e. tiny Cout —
+    at Cout=64 the same rewrite measured 10x WORSE (U is 9x the output).
+    """
+    batch, height, width, cin = x.shape
+    cout = kernel.shape[3]
+    km = kernel.transpose(2, 0, 1, 3).reshape(cin, 9 * cout).astype(dtype)
+    u = x.astype(dtype).reshape(batch * height * width, cin) @ km
+    u = u.reshape(batch, height, width, 9, cout)
+    out = jnp.zeros((batch, height, width, cout), u.dtype)
+    t = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            # u[b, y, x, t] is input pixel (y, x)'s contribution through
+            # tap (dy, dx) to output (y - dy, x - dx)
+            ys, ye = max(dy, 0), height + min(dy, 0)
+            xs, xe = max(dx, 0), width + min(dx, 0)
+            pad = ((0, 0), (max(-dy, 0), max(dy, 0)),
+                   (max(-dx, 0), max(dx, 0)), (0, 0))
+            out = out + jnp.pad(u[:, ys:ye, xs:xe, t], pad)
+            t += 1
+    return out
+
+
+def _conv3x3_direct(x, kernel):
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_vjp
+def _tapconv(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Tap-packed forward, direct-conv gradients (same linear map — XLA's
+    conv grads beat autodiff through the tap form's pad/slice chain on the
+    training path, measured +2.5 ms/step the other way)."""
+    return conv3x3_s1_tap(x, kernel, x.dtype)
+
+
+def _tapconv_fwd(x, kernel):
+    return _tapconv(x, kernel), (x, kernel)
+
+
+def _tapconv_bwd(res, g):
+    x, kernel = res
+    d_x, = jax.linear_transpose(lambda xx: _conv3x3_direct(xx, kernel), x)(g)
+    d_k, = jax.linear_transpose(lambda kk: _conv3x3_direct(x, kk), kernel)(g)
+    return d_x, d_k
+
+
+_tapconv.defvjp(_tapconv_fwd, _tapconv_bwd)
+
+
+class _TapConv3x3(nn.Module):
+    """Drop-in for nn.Conv(3x3, s1, SAME) computing via conv3x3_s1_tap.
+    Identical parameter tree (kernel HWIO + bias)."""
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", xavier_uniform,
+                            (3, 3, cin, self.features), jnp.float32)
+        dtype = self.dtype or x.dtype
+        y = _tapconv(x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param("bias", bias_uniform, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+_TAP_MAX_COUT = 4
+_TAP_MIN_PIXELS = 192 * 256
+
+
 def _conv2d(x, features, kernel_size, stride, use_bias, dtype, name):
-    """nn.Conv with the reference's padding/init.
+    """nn.Conv with the reference's padding/init; tiny-Cout high-resolution
+    3x3 convs (the full-res predict_flow heads) route through the
+    tap-packed matmul form (see conv3x3_s1_tap).
 
     NOTE: a phase-packed (space-to-depth) routing for small-Cout full-res
     layers was measured on v5e and LOST to the direct conv at the model
@@ -119,6 +205,10 @@ def _conv2d(x, features, kernel_size, stride, use_bias, dtype, name):
     more than the MXU lane-width win.  conv3x3_s1_packed is kept (tested)
     for in-VMEM use by future Pallas fusions, but nothing routes to it.
     """
+    if (kernel_size == 3 and stride == 1 and features <= _TAP_MAX_COUT
+            and x.shape[1] * x.shape[2] >= _TAP_MIN_PIXELS):
+        return _TapConv3x3(features, use_bias=use_bias, dtype=dtype,
+                           name=name)(x)
     pad = (kernel_size - 1) // 2
     return nn.Conv(
         features,

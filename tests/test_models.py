@@ -190,3 +190,49 @@ class TestTransposedConvVJP:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestTapConv:
+    """conv3x3_s1_tap must equal the direct conv in values and grads; the
+    routing threshold keeps it on tiny-Cout full-res heads only."""
+
+    def _direct(self, x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def test_matches_direct_and_grads(self):
+        from flownet2_tpu.nn.layers import conv3x3_s1_tap
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 8, 12, 16).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 16, 2).astype(np.float32))
+        got = np.asarray(conv3x3_s1_tap(x, k, jnp.float32))
+        want = np.asarray(self._direct(x, k))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+        gx1, gk1 = jax.grad(
+            lambda a, b: jnp.sum(conv3x3_s1_tap(a, b, jnp.float32) ** 2),
+            argnums=(0, 1))(x, k)
+        gx2, gk2 = jax.grad(
+            lambda a, b: jnp.sum(self._direct(a, b) ** 2),
+            argnums=(0, 1))(x, k)
+        # reassociated accumulation; grads are O(1e3) from the sum-of-
+        # squares loss
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_routing_and_param_tree(self):
+        from flownet2_tpu.nn.layers import PredictFlow
+        rng = np.random.RandomState(4)
+        # above threshold: routed; param tree unchanged (checkpoint compat)
+        x = jnp.asarray(rng.randn(1, 256, 256, 5).astype(np.float32))
+        m = PredictFlow()
+        v = jax.jit(m.init)(KEY, x)
+        assert set(v["params"]["conv"]) == {"kernel", "bias"}
+        assert v["params"]["conv"]["kernel"].shape == (3, 3, 5, 2)
+        got = np.asarray(jax.jit(m.apply)(v, x))
+        want = np.asarray(self._direct(x, v["params"]["conv"]["kernel"])
+                          + v["params"]["conv"]["bias"])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
