@@ -64,7 +64,7 @@ def _round_up(x: int, m: int) -> int:
 def supported(img: jax.Array, kernel_size: int, bilinear: bool) -> bool:
     _, h, w, c = img.shape
     hp, wp = _round_up(h, _TH), _round_up(w, _TW)
-    resident = hp * wp * c * img.dtype.itemsize
+    resident = hp * wp * 2 * c * img.dtype.itemsize  # planes + x-shifted copy
     return (bilinear and kernel_size == 1
             and img.dtype in (jnp.float32, jnp.bfloat16)
             and resident <= _VMEM_RESIDENT_BUDGET)
@@ -94,7 +94,17 @@ def _pad_edge(img: jax.Array, flow: jax.Array, g: jax.Array | None = None):
 
 
 def _coords(dx, dy, r, c, height, width):
-    """Shared coordinate math: corner indices + lerp weights for one tile."""
+    """Shared coordinate math for one output tile.
+
+    Only the LEFT corner column index is returned: the R-corner value is
+    gathered from the x-shifted image plane at the same lane index (see
+    _planes), so xR never drives the sweep.  ``lcl`` flags left-edge
+    clamping (x0 < 0, where both corners collapse to column 0 and the
+    shifted plane would read column 1): callers fold their R coefficients
+    into L there via _fold_lr, which reproduces the clamped semantics
+    exactly.  Right-edge clamping is already exact because the shifted
+    plane is edge-clamped.
+    """
     xs = (jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1)
           + c * _TW).astype(jnp.float32)
     ys = (jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0)
@@ -106,39 +116,68 @@ def _coords(dx, dy, r, c, height, width):
     a = xf - x0
     b = yf - y0
     xL = jnp.clip(x0.astype(jnp.int32), 0, width - 1)
-    xR = jnp.clip(x0.astype(jnp.int32) + 1, 0, width - 1)
     yT = jnp.clip(y0.astype(jnp.int32), 0, height - 1)
     yB = jnp.clip(y0.astype(jnp.int32) + 1, 0, height - 1)
-    return a, b, xL, xR, yT, yB
+    lcl = (x0 < 0.0).astype(jnp.float32)
+    return a, b, xL, yT, yB, lcl
 
 
-def _block_sweep(img_ref, channels, xL, xR, yT, yB, accum_fn, init):
-    """Loop over the source blocks any corner touches; call ``accum_fn`` for
-    every (channel, source-row) with the lane-gathered L/R values and hit
-    masks.  ``init`` is a pytree of (TH, TW) f32 accumulators."""
+def _fold_lr(wl, wr, lcl):
+    """Fold an (L, R) coefficient pair for left-clamped pixels (both corners
+    read column 0; the R gather would read column 1)."""
+    return wl + lcl * wr, (1.0 - lcl) * wr
+
+
+def _block_sweep(img_ref, channels, xL, yT, yB, coeff_fn, accum_fn, init):
+    """Loop over the source blocks any LEFT corner touches; ``init`` is a
+    pytree of (TH, TW) f32 loop-carried accumulators.
+
+    The image ref holds 2*channels planes: [0, C) the image, [C, 2C) its
+    x-shifted (edge-clamped) copy, so both horizontal corners are gathered
+    at the SAME lane index from one column block — the column sweep covers
+    only the blocks containing xL (for smooth flows: half the blocks and
+    half the masks of the xL/xR formulation; measured 3.2 -> ~1.9 ms per
+    warp at +-8 px random flow, b8 384x512).
+
+    Per (row-block, column-block) the local gather index / validity mask is
+    computed once; per source row ``coeff_fn`` builds *channel-shared* L/R
+    coefficient planes from the two corner-row hit masks, and ``accum_fn``
+    does the per-channel work: two lane gathers + two multiply-adds.
+
+    No data-dependent row/block skipping beyond the corner bounding box:
+    measured on v5e, per-row scalar guards (pl.when) and per-block lax.cond
+    both LOSE — branch overhead exceeds the skipped gathers even at small
+    flow magnitudes (3.3 -> 10 ms at +-8 px random flow for the pl.when
+    variant; the r3 perf log has the lax.cond numbers).
+    """
     rb_lo = jnp.min(yT) // _TH
     rb_hi = jnp.max(yB) // _TH
     cb_lo = jnp.min(xL) // _TW
-    cb_hi = jnp.max(xR) // _TW
+    cb_hi = jnp.max(xL) // _TW
 
     def rb_body(rb, acc):
         def cb_body(cb, acc):
             xLl = jnp.clip(xL - cb * _TW, 0, _TW - 1)
-            xRl = jnp.clip(xR - cb * _TW, 0, _TW - 1)
             okL = (xL >= cb * _TW) & (xL < (cb + 1) * _TW)
-            okR = (xR >= cb * _TW) & (xR < (cb + 1) * _TW)
-            for ch in range(channels):  # static unroll
-                tile = img_ref[0, ch, pl.ds(rb * _TH, _TH),
-                               pl.ds(cb * _TW, _TW)].astype(jnp.float32)
-                for s in range(_TH):  # static unroll
-                    row = jnp.broadcast_to(tile[s:s + 1], (_TH, _TW))
-                    gL = jnp.take_along_axis(row, xLl, axis=1)
-                    gR = jnp.take_along_axis(row, xRl, axis=1)
-                    srow = rb * _TH + s
-                    hitT = yT == srow
-                    hitB = yB == srow
-                    acc = accum_fn(acc, ch, gL, gR, hitT & okL, hitT & okR,
-                                   hitB & okL, hitB & okR)
+            tiles = [(img_ref[0, ch, pl.ds(rb * _TH, _TH),
+                              pl.ds(cb * _TW, _TW)],
+                      img_ref[0, channels + ch, pl.ds(rb * _TH, _TH),
+                              pl.ds(cb * _TW, _TW)])
+                     for ch in range(channels)]
+            for s in range(_TH):  # static unroll
+                srow = rb * _TH + s
+                fT = ((yT == srow) & okL).astype(jnp.float32)
+                fB = ((yB == srow) & okL).astype(jnp.float32)
+                coeffs = coeff_fn(fT, fB)
+                for ch in range(channels):  # static unroll
+                    tl, tr = tiles[ch]
+                    rowL = jnp.broadcast_to(tl[s:s + 1],
+                                            (_TH, _TW)).astype(jnp.float32)
+                    rowR = jnp.broadcast_to(tr[s:s + 1],
+                                            (_TH, _TW)).astype(jnp.float32)
+                    gL = jnp.take_along_axis(rowL, xLl, axis=1)
+                    gR = jnp.take_along_axis(rowR, xLl, axis=1)
+                    acc = accum_fn(acc, ch, gL, gR, coeffs)
             return acc
 
         return jax.lax.fori_loop(cb_lo, cb_hi + 1, cb_body, acc)
@@ -146,31 +185,30 @@ def _block_sweep(img_ref, channels, xL, xR, yT, yB, accum_fn, init):
     return jax.lax.fori_loop(rb_lo, rb_hi + 1, rb_body, init)
 
 
-def _fwd_kernel(dx_ref, dy_ref, img_ref, out_ref, *, height, width, channels):
+def _fwd_kernel(dx_ref, dy_ref, img_ref, out_ref, *, height, width,
+                channels):
     r = pl.program_id(1)
     c = pl.program_id(2)
-    a, b, xL, xR, yT, yB = _coords(dx_ref[0], dy_ref[0], r, c, height, width)
-    wTL = (1 - a) * (1 - b)
-    wTR = a * (1 - b)
-    wBL = (1 - a) * b
-    wBR = a * b
+    a, b, xL, yT, yB, lcl = _coords(dx_ref[0], dy_ref[0], r, c, height, width)
+    wTL, wTR = _fold_lr((1 - a) * (1 - b), a * (1 - b), lcl)
+    wBL, wBR = _fold_lr((1 - a) * b, a * b, lcl)
 
-    def accum(acc, ch, gL, gR, mTL, mTR, mBL, mBR):
-        acc_ch = acc[ch]
-        acc_ch = acc_ch + jnp.where(mTL, wTL * gL, 0.0)
-        acc_ch = acc_ch + jnp.where(mTR, wTR * gR, 0.0)
-        acc_ch = acc_ch + jnp.where(mBL, wBL * gL, 0.0)
-        acc_ch = acc_ch + jnp.where(mBR, wBR * gR, 0.0)
-        return acc[:ch] + [acc_ch] + acc[ch + 1:]
+    def coeffs(fT, fB):
+        # channel-shared L/R gather coefficients for this source row
+        return wTL * fT + wBL * fB, wTR * fT + wBR * fB
+
+    def accum(acc, ch, gL, gR, c2):
+        aL, aR = c2
+        return acc[:ch] + [acc[ch] + (gL * aL + gR * aR)] + acc[ch + 1:]
 
     init = [jnp.zeros((_TH, _TW), jnp.float32) for _ in range(channels)]
-    acc = _block_sweep(img_ref, channels, xL, xR, yT, yB, accum, init)
+    acc = _block_sweep(img_ref, channels, xL, yT, yB, coeffs, accum, init)
     for ch in range(channels):
         out_ref[0, ch] = acc[ch].astype(out_ref.dtype)
 
 
-def _fwd_tangents_kernel(dx_ref, dy_ref, img_ref, out_ref, d1_ref, d2_ref, *,
-                         height, width, channels):
+def _fwd_tangents_kernel(dx_ref, dy_ref, img_ref, out_ref, d1_ref, d2_ref,
+                         *, height, width, channels):
     """Forward warp + the analytic flow tangents, one sweep.
 
     d1[c] = dout_c/d(dx) = (1-b)(iTR-iTL) + b(iBR-iBL)
@@ -178,74 +216,74 @@ def _fwd_tangents_kernel(dx_ref, dy_ref, img_ref, out_ref, d1_ref, d2_ref, *,
 
     Saving (d1, d2) as VJP residuals makes the training backward a pure
     elementwise contraction  d_flow = (sum_c g_c*d1_c, sum_c g_c*d2_c) —
-    no second gather sweep.  The sweep costs ~8 extra multiply-adds per
-    (block, source-row, channel) over the plain forward; the dedicated
-    backward kernel it replaces re-ran the whole sweep (~equal to a full
-    forward, 4-9 ms per warp at b8 with real flows)."""
+    no second gather sweep.  The sweep costs ~6 extra multiply-adds per
+    (source-row, channel) over the plain forward; the dedicated backward
+    kernel it replaces re-ran the whole sweep (~equal to a full forward,
+    4-9 ms per warp at b8 with real flows)."""
     r = pl.program_id(1)
     c = pl.program_id(2)
-    a, b, xL, xR, yT, yB = _coords(dx_ref[0], dy_ref[0], r, c, height, width)
-    wTL = (1 - a) * (1 - b)
-    wTR = a * (1 - b)
-    wBL = (1 - a) * b
-    wBR = a * b
-    cxTL, cyTL = -(1 - b), -(1 - a)
-    cxTR, cyTR = (1 - b), -a
-    cxBL, cyBL = -b, (1 - a)
-    cxBR, cyBR = b, a
+    a, b, xL, yT, yB, lcl = _coords(dx_ref[0], dy_ref[0], r, c, height, width)
+    wTL, wTR = _fold_lr((1 - a) * (1 - b), a * (1 - b), lcl)
+    wBL, wBR = _fold_lr((1 - a) * b, a * b, lcl)
+    cxTL, cxTR = _fold_lr(-(1 - b), (1 - b), lcl)
+    cxBL, cxBR = _fold_lr(-b, b, lcl)
+    cyTL, cyTR = _fold_lr(-(1 - a), -a, lcl)
+    cyBL, cyBR = _fold_lr(1 - a, a, lcl)
 
-    def accum(acc, ch, gL, gR, mTL, mTR, mBL, mBR):
+    def coeffs(fT, fB):
+        return (wTL * fT + wBL * fB, wTR * fT + wBR * fB,
+                cxTL * fT + cxBL * fB, cxTR * fT + cxBR * fB,
+                cyTL * fT + cyBL * fB, cyTR * fT + cyBR * fB)
+
+    def accum(acc, ch, gL, gR, c6):
+        aL, aR, c1L, c1R, c2L, c2R = c6
         out_a, d1_a, d2_a = acc
-        tTL = jnp.where(mTL, gL, 0.0)
-        tTR = jnp.where(mTR, gR, 0.0)
-        tBL = jnp.where(mBL, gL, 0.0)
-        tBR = jnp.where(mBR, gR, 0.0)
-        out_c = out_a[ch] + (wTL * tTL + wTR * tTR + wBL * tBL + wBR * tBR)
-        d1_c = d1_a[ch] + (cxTL * tTL + cxTR * tTR + cxBL * tBL + cxBR * tBR)
-        d2_c = d2_a[ch] + (cyTL * tTL + cyTR * tTR + cyBL * tBL + cyBR * tBR)
-        return (out_a[:ch] + [out_c] + out_a[ch + 1:],
-                d1_a[:ch] + [d1_c] + d1_a[ch + 1:],
-                d2_a[:ch] + [d2_c] + d2_a[ch + 1:])
+        return (out_a[:ch] + [out_a[ch] + (gL * aL + gR * aR)]
+                + out_a[ch + 1:],
+                d1_a[:ch] + [d1_a[ch] + (gL * c1L + gR * c1R)]
+                + d1_a[ch + 1:],
+                d2_a[:ch] + [d2_a[ch] + (gL * c2L + gR * c2R)]
+                + d2_a[ch + 1:])
 
     zeros = lambda: [jnp.zeros((_TH, _TW), jnp.float32)
                      for _ in range(channels)]
     init = (zeros(), zeros(), zeros())
-    out_a, d1_a, d2_a = _block_sweep(img_ref, channels, xL, xR, yT, yB,
-                                     accum, init)
+    out_a, d1_a, d2_a = _block_sweep(img_ref, channels, xL, yT, yB,
+                                     coeffs, accum, init)
     for ch in range(channels):
         out_ref[0, ch] = out_a[ch].astype(out_ref.dtype)
         d1_ref[0, ch] = d1_a[ch]
         d2_ref[0, ch] = d2_a[ch]
 
 
-def _grad_flow_kernel(dx_ref, dy_ref, img_ref, g_ref, ddx_ref, ddy_ref, *,
-                      height, width, channels):
+def _grad_flow_kernel(dx_ref, dy_ref, img_ref, g_ref, ddx_ref, ddy_ref,
+                      *, height, width, channels):
     r = pl.program_id(1)
     c = pl.program_id(2)
-    a, b, xL, xR, yT, yB = _coords(dx_ref[0], dy_ref[0], r, c, height, width)
+    a, b, xL, yT, yB, lcl = _coords(dx_ref[0], dy_ref[0], r, c, height, width)
     # Per-corner (d/d_dx, d/d_dy) coefficients of the bilinear weight
     # (resample2d_kernel.cu:127-198 analytic derivative).
-    cxTL, cyTL = -(1 - b), -(1 - a)
-    cxTR, cyTR = (1 - b), -a
-    cxBL, cyBL = -b, (1 - a)
-    cxBR, cyBR = b, a
+    cxTL, cxTR = _fold_lr(-(1 - b), (1 - b), lcl)
+    cxBL, cxBR = _fold_lr(-b, b, lcl)
+    cyTL, cyTR = _fold_lr(-(1 - a), -a, lcl)
+    cyBL, cyBR = _fold_lr(1 - a, a, lcl)
 
     gch = [g_ref[0, ch].astype(jnp.float32) for ch in range(channels)]
 
-    def accum(acc, ch, gL, gR, mTL, mTR, mBL, mBR):
+    def coeffs(fT, fB):
+        return (cxTL * fT + cxBL * fB, cxTR * fT + cxBR * fB,
+                cyTL * fT + cyBL * fB, cyTR * fT + cyBR * fB)
+
+    def accum(acc, ch, gL, gR, c4):
+        c1L, c1R, c2L, c2R = c4
         acc_dx, acc_dy = acc
-        tTL = jnp.where(mTL, gch[ch] * gL, 0.0)
-        tTR = jnp.where(mTR, gch[ch] * gR, 0.0)
-        tBL = jnp.where(mBL, gch[ch] * gL, 0.0)
-        tBR = jnp.where(mBR, gch[ch] * gR, 0.0)
-        acc_dx = acc_dx + cxTL * tTL + cxTR * tTR + cxBL * tBL + cxBR * tBR
-        acc_dy = acc_dy + cyTL * tTL + cyTR * tTR + cyBL * tBL + cyBR * tBR
-        return acc_dx, acc_dy
+        return (acc_dx + gch[ch] * (gL * c1L + gR * c1R),
+                acc_dy + gch[ch] * (gL * c2L + gR * c2R))
 
     init = (jnp.zeros((_TH, _TW), jnp.float32),
             jnp.zeros((_TH, _TW), jnp.float32))
-    acc_dx, acc_dy = _block_sweep(img_ref, channels, xL, xR, yT, yB, accum,
-                                  init)
+    acc_dx, acc_dy = _block_sweep(img_ref, channels, xL, yT, yB, coeffs,
+                                  accum, init)
     ddx_ref[0] = acc_dx
     ddy_ref[0] = acc_dy
 
@@ -255,13 +293,23 @@ def _planes(x):
     return jnp.transpose(x, (0, 3, 1, 2))
 
 
+def _planes_pair(x):
+    """(B, H, W, C) -> (B, 2C, H, W): channel planes followed by their
+    x-shifted (edge-clamped) copies, so the kernels gather both horizontal
+    corners at the same lane index (R-corner value = shifted plane at xL).
+    One fused XLA pass; shared by all warps of the same image under jit."""
+    p = jnp.transpose(x, (0, 3, 1, 2))
+    shifted = jnp.concatenate([p[..., 1:], p[..., -1:]], axis=-1)
+    return jnp.concatenate([p, shifted], axis=1)
+
+
 @jax.jit
 def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
     """Forward bilinear warp; img (B, H, W, C) f32/bf16, flow (B, H, W, 2)."""
     true_h, true_w = img.shape[1:3]
     img, flow, _ = _pad_edge(img, flow)
     batch, height, width, channels = img.shape
-    planes = _planes(img)
+    planes = _planes_pair(img)
     dx = flow[..., 0].astype(jnp.float32)
     dy = flow[..., 1].astype(jnp.float32)
 
@@ -276,7 +324,7 @@ def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, channels, height, width),
+            pl.BlockSpec((1, 2 * channels, height, width),
                          lambda b, r, c: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -299,7 +347,7 @@ def resample2d_bilinear_tangents_pallas(img: jax.Array, flow: jax.Array):
     true_h, true_w = img.shape[1:3]
     img, flow, _ = _pad_edge(img, flow)
     batch, height, width, channels = img.shape
-    planes = _planes(img)
+    planes = _planes_pair(img)
     dx = flow[..., 0].astype(jnp.float32)
     dy = flow[..., 1].astype(jnp.float32)
 
@@ -317,7 +365,7 @@ def resample2d_bilinear_tangents_pallas(img: jax.Array, flow: jax.Array):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, channels, height, width),
+            pl.BlockSpec((1, 2 * channels, height, width),
                          lambda b, r, c: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -345,7 +393,7 @@ def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
     true_h, true_w = img.shape[1:3]
     img, flow, g = _pad_edge(img, flow, g)
     batch, height, width, channels = img.shape
-    planes = _planes(img)
+    planes = _planes_pair(img)
     gplanes = _planes(g)
     dx = flow[..., 0].astype(jnp.float32)
     dy = flow[..., 1].astype(jnp.float32)
@@ -361,7 +409,7 @@ def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, channels, height, width),
+            pl.BlockSpec((1, 2 * channels, height, width),
                          lambda b, r, c: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, channels, _TH, _TW),

@@ -1,0 +1,70 @@
+"""Microbenchmark for the Pallas warp kernels (fwd / tangents / grad_flow).
+
+Round-3 baselines (b8 384x512 f32): fwd 3.3 ms @ +-8 px, 10.2 ms @ +-40 px.
+Usage: python scripts/warp_bench.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timeit(fn, *args, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(carry, *a):
+        out = fn(a[0] + carry, *a[1:])
+        leaf = jax.tree.leaves(out)[0]
+        return jnp.mean(leaf.astype(jnp.float32)) * 1e-24
+
+    def run(n):
+        carry = jnp.float32(0.0)
+        for _ in range(n):
+            carry = step(carry, *args)
+        return float(carry)
+
+    run(3)
+    t0 = time.perf_counter()
+    run(1)
+    overhead = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(iters)
+    total = time.perf_counter() - t0
+    return max((total - overhead) / (iters - 1), 1e-9) * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from flownet2_tpu.ops.resample2d_pallas import (
+        resample2d_bilinear_pallas, resample2d_bilinear_tangents_pallas,
+        resample2d_grad_flow_pallas)
+
+    B, H, W = 8, 384, 512
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    g = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    for mag in (8.0, 40.0):
+        flow = jnp.asarray(
+            (rng.rand(B, H, W, 2).astype(np.float32) * 2 - 1) * mag)
+        t_fwd = timeit(lambda im, f: resample2d_bilinear_pallas(im, f),
+                       img, flow)
+        t_tan = timeit(
+            lambda im, f: resample2d_bilinear_tangents_pallas(im, f),
+            img, flow)
+        t_gf = timeit(
+            lambda gg, im, f: resample2d_grad_flow_pallas(gg, im, f),
+            g, img, flow)
+        print(f"+-{mag:.0f}px: fwd {t_fwd:6.2f} ms  tangents {t_tan:6.2f} ms"
+              f"  grad_flow {t_gf:6.2f} ms", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
