@@ -12,7 +12,18 @@ from typing import Any, Optional
 import jax
 from flax import linen as nn
 
+from ..nn import packed as P
 from ..nn.layers import ConvBlock, Deconv, IConv, PredictFlow, UpsampleFlow, cat
+
+
+def _use_packed(x: jax.Array, batch_norm: bool) -> bool:
+    """The full-resolution levels run in the exact 2x2 space-to-depth rep
+    (nn/packed.py) when possible: full-res 3x3 convs with <=64 output
+    channels starve the MXU lane dim (0.3-15 TF/s measured on v5e) and the
+    packed rewrite runs them at full lane width with one relayout per
+    subnet.  BatchNorm needs per-original-channel statistics, so BN
+    configurations use the direct convs."""
+    return (not batch_norm and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
 
 
 class FlowNetSD(nn.Module):
@@ -27,8 +38,21 @@ class FlowNetSD(nn.Module):
             f, k, s, batch_norm=bn, dtype=dt, name=name)
         iconv = lambda f, name: IConv(f, 3, 1, batch_norm=bn, dtype=dt, name=name)
 
-        out_conv0 = conv(64, 3, 1, "conv0")(x, train_bn)
-        out_conv1 = conv(64, 3, 2, "conv1")(out_conv0, train_bn)
+        if _use_packed(x, bn):
+            # conv0 (full-res 3x3/s1) + conv1 (3x3/s2) in the packed rep:
+            # one space_to_depth in, conv1 emits the unpacked half-res
+            # tensor directly.
+            a_in = P.space_to_depth(x)
+            s_conv0 = P.staggered_mask(
+                ConvBlock(64, 3, 1, batch_norm=bn, dtype=dt,
+                          packed_mode="a2s", name="conv0")(a_in, train_bn),
+                64)
+            out_conv1 = ConvBlock(64, 3, 2, batch_norm=bn, dtype=dt,
+                                  packed_mode="s2_stag",
+                                  name="conv1")(s_conv0, train_bn)
+        else:
+            out_conv0 = conv(64, 3, 1, "conv0")(x, train_bn)
+            out_conv1 = conv(64, 3, 2, "conv1")(out_conv0, train_bn)
         out_conv1 = conv(128, 3, 1, "conv1_1")(out_conv1, train_bn)
         out_conv2 = conv(128, 3, 2, "conv2")(out_conv1, train_bn)
         out_conv2 = conv(128, 3, 1, "conv2_1")(out_conv2, train_bn)
@@ -85,8 +109,24 @@ class FlowNetFusion(nn.Module):
             f, k, s, batch_norm=bn, dtype=dt, name=name)
         iconv = lambda f, name: IConv(f, 3, 1, batch_norm=bn, dtype=dt, name=name)
 
-        out_conv0 = conv(64, 3, 1, "conv0")(x, train_bn)
-        out_conv1 = conv(64, 3, 2, "conv1")(out_conv0, train_bn)
+        use_packed = _use_packed(x, bn)
+        if use_packed:
+            # The whole full-res level lives in the packed rep: aligned and
+            # staggered tensors alternate through conv0 -> (deconv0,
+            # upsampled_flow1, skip) -> inter_conv0 -> predict_flow0, so the
+            # only relayouts are one space_to_depth at entry and the cheap
+            # 2-channel staggered unpack at exit.
+            a_in = P.space_to_depth(x)
+            s_conv0 = P.staggered_mask(
+                ConvBlock(64, 3, 1, batch_norm=bn, dtype=dt,
+                          packed_mode="a2s", name="conv0")(a_in, train_bn),
+                64)
+            out_conv1 = ConvBlock(64, 3, 2, batch_norm=bn, dtype=dt,
+                                  packed_mode="s2_stag",
+                                  name="conv1")(s_conv0, train_bn)
+        else:
+            out_conv0 = conv(64, 3, 1, "conv0")(x, train_bn)
+            out_conv1 = conv(64, 3, 2, "conv1")(out_conv0, train_bn)
         out_conv1 = conv(128, 3, 1, "conv1_1")(out_conv1, train_bn)
         out_conv2 = conv(128, 3, 2, "conv2")(out_conv1, train_bn)
         out_conv2 = conv(128, 3, 1, "conv2_1")(out_conv2, train_bn)
@@ -98,6 +138,22 @@ class FlowNetFusion(nn.Module):
         concat1 = cat([out_conv1, out_deconv1, flow2_up])
         out_interconv1 = iconv(32, "inter_conv1")(concat1, train_bn)
         flow1 = PredictFlow(dtype=dt, name="predict_flow1")(out_interconv1)
+
+        if use_packed:
+            flow1_up_s = P.staggered_mask(
+                UpsampleFlow(dtype=dt, staggered_out=True,
+                             name="upsampled_flow1_to_0")(flow1), 2)
+            out_deconv0_s = P.staggered_mask(
+                Deconv(16, dtype=dt, staggered_out=True,
+                       name="deconv0")(concat1), 16)
+            concat0_s = cat([s_conv0, out_deconv0_s, flow1_up_s])
+            out_interconv0 = IConv(16, 3, 1, batch_norm=bn, dtype=dt,
+                                   packed_mode="s2a", in_splits=(64, 16, 2),
+                                   name="inter_conv0")(concat0_s, train_bn)
+            flow0_s = PredictFlow(dtype=dt, packed_mode="a2s",
+                                  name="predict_flow0")(out_interconv0)
+            return P.staggered_to_full(flow0_s, 2)
+
         flow1_up = UpsampleFlow(dtype=dt, name="upsampled_flow1_to_0")(flow1)
         out_deconv0 = Deconv(16, dtype=dt, name="deconv0")(concat1)
 

@@ -22,6 +22,7 @@ weights, U[0, 1) biases (yes, uniform on [0,1) — that is what
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -190,14 +191,69 @@ class _TapConv3x3(nn.Module):
         return y
 
 
+class _PackedConv(nn.Module):
+    """Conv computed in a 2x2 space-to-depth rep (see nn/packed.py).
+
+    Parameter tree is identical to nn.Conv (canonical HWIO ``kernel`` +
+    ``bias``); the packed kernel is derived at trace time.  ``mode``:
+
+      'a2s'        3x3/s1, aligned in -> staggered out (UNMASKED — the
+                   caller masks after bias/activation via staggered_mask)
+      's2a'        3x3/s1, staggered in -> aligned out
+      's2_stag'    3x3/s2, staggered in -> unpacked half-res out
+      's2_aligned' odd-K/s2, aligned in -> unpacked half-res out
+
+    ``in_splits``: full-res channel sizes of the concat parts making up
+    the packed input (a packed concat interleaves per-tensor phase groups,
+    so the kernel's input rows are permuted to match — free at trace
+    time).  None = single tensor.
+    """
+    features: int
+    mode: str
+    kernel_size: int = 3
+    use_bias: bool = True
+    in_splits: Optional[tuple] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from . import packed as P
+
+        cin = x.shape[-1] // 4
+        k = self.kernel_size
+        kernel = self.param("kernel", xavier_uniform,
+                            (k, k, cin, self.features), jnp.float32)
+        dtype = self.dtype or x.dtype
+        xd = x.astype(dtype)
+        kd = kernel.astype(dtype)
+        fn = {"a2s": P.conv_a2s, "s2a": P.conv_s2a,
+              "s2_stag": P.conv_s2_from_stag,
+              "s2_aligned": P.conv_s2_from_aligned}[self.mode]
+        if self.in_splits is not None:
+            fn = functools.partial(fn, in_splits=tuple(self.in_splits))
+        y = fn(xd, kd)
+        if self.use_bias:
+            bias = self.param("bias", bias_uniform, (self.features,),
+                              jnp.float32).astype(dtype)
+            if self.mode in ("a2s",):  # packed output: phase-tiled bias
+                bias = P.bias_phase(bias)
+            elif self.mode == "s2a":
+                bias = P.bias_phase(bias)
+            y = y + bias
+        return y
+
+
 _TAP_MAX_COUT = 4
 _TAP_MIN_PIXELS = 192 * 256
 
 
-def _conv2d(x, features, kernel_size, stride, use_bias, dtype, name):
+def _conv2d(x, features, kernel_size, stride, use_bias, dtype, name,
+            packed_mode=None, in_splits=None):
     """nn.Conv with the reference's padding/init; tiny-Cout high-resolution
     3x3 convs (the full-res predict_flow heads) route through the
-    tap-packed matmul form (see conv3x3_s1_tap).
+    tap-packed matmul form (see conv3x3_s1_tap); ``packed_mode`` routes
+    through the space-to-depth rewrites (_PackedConv / nn.packed) used by
+    the full-res levels of FlowNetFusion / FlowNetSD.
 
     NOTE: a phase-packed (space-to-depth) routing for small-Cout full-res
     layers was measured on v5e and LOST to the direct conv at the model
@@ -205,6 +261,10 @@ def _conv2d(x, features, kernel_size, stride, use_bias, dtype, name):
     more than the MXU lane-width win.  conv3x3_s1_packed is kept (tested)
     for in-VMEM use by future Pallas fusions, but nothing routes to it.
     """
+    if packed_mode is not None:
+        return _PackedConv(features, packed_mode, kernel_size,
+                           use_bias=use_bias, in_splits=in_splits,
+                           dtype=dtype, name=name)(x)
     if (kernel_size == 3 and stride == 1 and features <= _TAP_MAX_COUT
             and x.shape[1] * x.shape[2] >= _TAP_MIN_PIXELS):
         return _TapConv3x3(features, use_bias=use_bias, dtype=dtype,
@@ -234,11 +294,16 @@ class ConvBlock(nn.Module):
     stride: int = 1
     batch_norm: bool = False
     dtype: Optional[Dtype] = None
+    packed_mode: Optional[str] = None
+    in_splits: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        assert self.packed_mode is None or not self.batch_norm, \
+            "packed conv paths do not support BatchNorm"
         x = _conv2d(x, self.features, self.kernel_size, self.stride,
-                    not self.batch_norm, self.dtype, "conv")
+                    not self.batch_norm, self.dtype, "conv",
+                    self.packed_mode, self.in_splits)
         if self.batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -259,11 +324,16 @@ class IConv(nn.Module):
     batch_norm: bool = False
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    packed_mode: Optional[str] = None
+    in_splits: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        assert self.packed_mode is None or not self.batch_norm, \
+            "packed conv paths do not support BatchNorm"
         x = _conv2d(x, self.features, self.kernel_size, self.stride,
-                    self.use_bias, self.dtype, "conv")
+                    self.use_bias, self.dtype, "conv",
+                    self.packed_mode, self.in_splits)
         if self.batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -279,10 +349,13 @@ class PredictFlow(nn.Module):
     """predict_flow() builder: 3x3 conv to 2 flow channels
     (/root/reference/networks/submodules.py:31-32)."""
     dtype: Optional[Dtype] = None
+    packed_mode: Optional[str] = None
+    in_splits: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return _conv2d(x, 2, 3, 1, True, self.dtype, "conv")
+        return _conv2d(x, 2, 3, 1, True, self.dtype, "conv",
+                       self.packed_mode, self.in_splits)
 
 
 def _tconv_dilated(x: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -337,21 +410,26 @@ def _tconv_phase(x: jax.Array, kernel: jax.Array) -> jax.Array:
     return out.reshape(batch, 2 * height, 2 * width, cout)
 
 
-@jax.custom_vjp
-def _tconv421(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Best-of-both ConvTranspose2d(4, 2, 1): phase-decomposed forward
-    (fast: full MXU lane width), gradients from the transpose of the
-    equivalent dilated conv (fast: XLA's canonical conv-transpose grads).
-    The two formulations are the same linear map, so mixing them is exact.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _tconv421(x: jax.Array, kernel: jax.Array,
+              phase_fwd: bool = True) -> jax.Array:
+    """Best-of-both ConvTranspose2d(4, 2, 1): forward via either the
+    phase decomposition (full MXU lane width — wins at low resolution /
+    wide channels) or the canonical dilated conv (no phase-interleave
+    copies — wins at high resolution / narrow channels, where the
+    interleave's strided relayout costs more than the conv, measured);
+    gradients always from the transpose of the dilated formulation (XLA's
+    canonical conv-transpose grads, 2-4x faster than the phase form's).
+    All formulations are the same linear map, so mixing them is exact.
     """
-    return _tconv_phase(x, kernel)
+    return _tconv_phase(x, kernel) if phase_fwd else _tconv_dilated(x, kernel)
 
 
-def _tconv421_fwd(x, kernel):
-    return _tconv_phase(x, kernel), (x, kernel)
+def _tconv421_fwd(x, kernel, phase_fwd):
+    return _tconv421(x, kernel, phase_fwd), (x, kernel)
 
 
-def _tconv421_bwd(res, g):
+def _tconv421_bwd(phase_fwd, res, g):
     x, kernel = res
     # linear_transpose builds ONLY the transposed computation (no forward
     # recompute) of the dilated formulation.
@@ -362,12 +440,29 @@ def _tconv421_bwd(res, g):
 
 _tconv421.defvjp(_tconv421_fwd, _tconv421_bwd)
 
+# Output-pixel threshold up to which the phase forward is used.  In-graph
+# on v5e the dilated forward won at EVERY FlowNet2 layer (the phase form's
+# interleave — 4-way slice + stack + reshape — is a strided relayout that
+# XLA can't fuse, and it blocks fusing the following LeakyReLU into the
+# conv): FlowNet2 inference 56.7 -> 46.3 ms/b8 going all-dilated, with the
+# largest step at the full-res Fusion deconvs (threshold sweep in
+# scripts/tconv_experiment.py; standalone microbenches said the opposite
+# and were misleading).  0 = always dilated; kept overridable for
+# experiments via set_tconv_phase_max_pixels.
+_TCONV_PHASE_MAX_OUT_PIXELS = 0
+
+
+def set_tconv_phase_max_pixels(n: int) -> None:
+    global _TCONV_PHASE_MAX_OUT_PIXELS
+    _TCONV_PHASE_MAX_OUT_PIXELS = n
+
 
 class _TransposedConv(nn.Module):
     """ConvTranspose2d(k=4, s=2, p=1); see _tconv421 for the formulation."""
     features: int
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    staggered_out: bool = False
 
     kernel_size: int = 4
     stride: int = 2
@@ -375,6 +470,8 @@ class _TransposedConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from . import packed as P
+
         in_features = x.shape[-1]
         k = self.kernel_size
         kernel = self.param(
@@ -383,7 +480,16 @@ class _TransposedConv(nn.Module):
         dtype = self.dtype or x.dtype
         assert (k, self.stride, self.padding) == (4, 2, 1), \
             "phase decomposition is specialised to the reference's (4, 2, 1)"
-        out = _tconv421(x.astype(dtype), kernel.astype(dtype))
+        if self.staggered_out:
+            out = P.tconv_to_staggered(x.astype(dtype), kernel.astype(dtype))
+            if self.use_bias:
+                bias = self.param("bias", bias_uniform, (self.features,),
+                                  jnp.float32)
+                out = out + P.bias_phase(bias.astype(dtype))
+            return out
+        out_pixels = 4 * x.shape[1] * x.shape[2]
+        phase_fwd = out_pixels <= _TCONV_PHASE_MAX_OUT_PIXELS
+        out = _tconv421(x.astype(dtype), kernel.astype(dtype), phase_fwd)
         if self.use_bias:
             bias = self.param("bias", bias_uniform, (self.features,),
                               jnp.float32)
@@ -396,10 +502,12 @@ class Deconv(nn.Module):
     (/root/reference/networks/submodules.py:34-38)."""
     features: int
     dtype: Optional[Dtype] = None
+    staggered_out: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = _TransposedConv(self.features, use_bias=True, dtype=self.dtype,
+                            staggered_out=self.staggered_out,
                             name="tconv")(x)
         return leaky_relu(x)
 
@@ -413,10 +521,12 @@ class UpsampleFlow(nn.Module):
     """
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    staggered_out: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         return _TransposedConv(2, use_bias=self.use_bias, dtype=self.dtype,
+                               staggered_out=self.staggered_out,
                                name="tconv")(x)
 
 
