@@ -97,44 +97,71 @@ def bench_train(name, batch, h, w, results):
 
 
 def scaling_table(model_name="FlowNet2C", per_device_batch=8, h=384, w=448,
-                  device_counts=(1, 2, 4, 8), iters=10):
+                  device_counts=(1, 2, 4, 8), iters=10, train_iters=8):
     """Data-parallel scaling: frames/s at 1..N local devices with weak
-    scaling (fixed per-device batch), plus efficiency vs linear
-    (BASELINE.md protocol step 4).  Runs on however many devices the
+    scaling (fixed per-device batch), plus efficiency vs linear, for BOTH
+    inference and the full train step (BASELINE.md protocol step 4 names
+    the primary mode — training; its psum'd gradients are what an
+    efficiency number should stress).  Runs on however many devices the
     current backend exposes — the single real chip today, a v5e slice when
     one exists; tests exercise it on the 8-virtual-CPU mesh."""
     import jax
     import jax.numpy as jnp
+    import optax
 
+    from flownet2_tpu.losses import MultiScale
     from flownet2_tpu.models import get_model
-    from flownet2_tpu.parallel import MeshPlan, make_mesh
+    from flownet2_tpu.parallel import MeshPlan, scoped_mesh
+    from flownet2_tpu.train.state import StepFactory
 
     ndev_avail = len(jax.devices())
     model = get_model(model_name)
     rng = np.random.RandomState(0)
     rows = []
-    base = None
+    base = {}
     for ndev in device_counts:
         if ndev > ndev_avail:
             continue
         batch = per_device_batch * ndev
         images = jnp.asarray(
             rng.rand(batch, 2, h, w, 3).astype(np.float32) * 255.0)
-        plan = MeshPlan(make_mesh(jax.devices()[:ndev], spatial=1))
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), images)
-        variables = jax.device_put(variables, plan.replicated)
-        images = jax.device_put(images, plan.batch_images)
-        apply = jax.jit(model.apply,
-                        in_shardings=(plan.replicated, plan.batch_images))
-        dt = time_chained(lambda v, x: apply(v, x), variables, images,
-                          iters=iters)
-        fps = batch / dt
-        base = base if base is not None else fps
-        eff = fps / (base * ndev)
-        rows.append({"devices": ndev, "batch": batch,
-                     "fps": round(fps, 1), "efficiency": round(eff, 3)})
-        print(f"scaling {model_name} x{ndev}dev: {fps:8.1f} f/s "
-              f"(eff {eff * 100:5.1f}%)", file=sys.stderr)
+        flow = jnp.asarray(rng.rand(batch, h, w, 2).astype(np.float32) * 5.0)
+        with scoped_mesh(jax.devices()[:ndev], spatial=1) as mesh:
+            plan = MeshPlan(mesh)
+            variables = jax.jit(model.init)(jax.random.PRNGKey(0), images)
+            variables = jax.device_put(variables, plan.replicated)
+            sh_images = jax.device_put(images, plan.batch_images)
+            apply = jax.jit(model.apply,
+                            in_shardings=(plan.replicated, plan.batch_images))
+            dt = time_chained(lambda v, x: apply(v, x), variables, sh_images,
+                              iters=iters)
+            row = {"devices": ndev, "batch": batch}
+            for mode, t in (("infer", dt),):
+                fps = batch / t
+                base.setdefault(mode, fps)
+                eff = fps / (base[mode] * ndev)
+                row["fps"] = round(fps, 1)
+                row["efficiency"] = round(eff, 3)
+                print(f"scaling {model_name} x{ndev}dev {mode}: "
+                      f"{fps:8.1f} f/s (eff {eff * 100:5.1f}%)",
+                      file=sys.stderr)
+            del variables, apply
+            factory = StepFactory(model=model, loss_fn=MultiScale(),
+                                  tx=optax.adam(1e-4), plan=plan)
+            state = factory.init_state(jax.random.PRNGKey(0), images)
+            tdt = time_train_step(factory.train_step(), state, sh_images,
+                                  jax.device_put(flow, plan.batch_flow),
+                                  iters=train_iters)
+            tfps = batch / tdt
+            base.setdefault("train", tfps)
+            teff = tfps / (base["train"] * ndev)
+            row["train_fps"] = round(tfps, 1)
+            row["train_efficiency"] = round(teff, 3)
+            print(f"scaling {model_name} x{ndev}dev train: "
+                  f"{tfps:8.1f} f/s (eff {teff * 100:5.1f}%)",
+                  file=sys.stderr)
+            del factory, state
+        rows.append(row)
     return rows
 
 

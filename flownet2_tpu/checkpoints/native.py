@@ -27,9 +27,14 @@ def _ckpt_dir(base, tag):
 
 
 def _replace_dir(src: pathlib.Path, dst: pathlib.Path) -> None:
-    """Atomically swap ``src`` into place at ``dst`` (rename-based: a crash
-    at any point leaves either the old or the new checkpoint intact, never
-    a half-deleted one — the rmtree-then-save window VERDICT r2 flagged)."""
+    """Rename-swap ``src`` into place at ``dst``.
+
+    Not a single atomic operation: a crash between the two renames leaves
+    the previous checkpoint at ``<dst>.old`` and nothing at ``dst`` —
+    ``restore_checkpoint`` falls back to ``<tag>.old`` for exactly that
+    window.  What the rename sequence does guarantee is that a complete
+    checkpoint (old or new) always exists on disk, unlike the
+    rmtree-then-save window VERDICT r2 flagged."""
     old = dst.with_name(dst.name + ".old")
     if old.exists():
         shutil.rmtree(old)
@@ -96,7 +101,13 @@ def restore_checkpoint(directory: str | os.PathLike,
 
     path = pathlib.Path(_ckpt_dir(directory, tag)).absolute()
     if not path.exists():
-        raise FileNotFoundError(f"no checkpoint at {path}")
+        # A crash inside _replace_dir's rename window leaves the previous
+        # checkpoint parked at <tag>.old; recover it.
+        old = path.with_name(path.name + ".old")
+        if old.exists():
+            old.rename(path)
+        else:
+            raise FileNotFoundError(f"no checkpoint at {path}")
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path, item=jax.device_get(state_template))
     meta = json.loads((path / "meta.json").read_text()) \

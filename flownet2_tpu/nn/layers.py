@@ -126,8 +126,11 @@ def conv3x3_s1_tap(x: jax.Array, kernel: jax.Array, dtype: Dtype) -> jax.Array:
     cout = kernel.shape[3]
     km = kernel.transpose(2, 0, 1, 3).reshape(cin, 9 * cout).astype(dtype)
     u = x.astype(dtype).reshape(batch * height * width, cin) @ km
-    u = u.reshape(batch, height, width, 9, cout)
-    out = jnp.zeros((batch, height, width, cout), u.dtype)
+    # Accumulate the 9 tap partial sums in f32: with dtype=bfloat16 the
+    # sequential adds would otherwise round 9 times where the direct conv
+    # rounds once (ADVICE r3); Cout<=4 makes the f32 buffer negligible.
+    u = u.reshape(batch, height, width, 9, cout).astype(jnp.float32)
+    out = jnp.zeros((batch, height, width, cout), jnp.float32)
     t = 0
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
@@ -139,7 +142,7 @@ def conv3x3_s1_tap(x: jax.Array, kernel: jax.Array, dtype: Dtype) -> jax.Array:
                    (max(-dx, 0), max(dx, 0)), (0, 0))
             out = out + jnp.pad(u[:, ys:ye, xs:xe, t], pad)
             t += 1
-    return out
+    return out.astype(dtype)
 
 
 def _conv3x3_direct(x, kernel):

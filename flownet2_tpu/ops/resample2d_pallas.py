@@ -54,7 +54,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TH, _TW = 8, 128
-_VMEM_RESIDENT_BUDGET = 8 * 1024 * 1024
+# Per-batch-item VMEM residency cap for the (paired) image planes.  The
+# resident operand's block is constant across the (row, col) grid dims and
+# Mosaic does NOT double-buffer it (verified on v5e: the paired 9.4 MB
+# 384x1024x3 f32 planes compile and run at full speed), so the cap can sit
+# near the 16 MB VMEM size minus the small per-tile blocks.  12 MB keeps
+# Sintel-native (9.4 MB) and KITTI-class (11.8 MB) f32 warps on-kernel.
+_VMEM_RESIDENT_BUDGET = 12 * 1024 * 1024
+# The resident planes can push the kernels' scoped-vmem stack past the
+# 16 MB compiler default in large graphs (extra operand copies / buffering
+# around the custom call); raise the per-kernel cap — Mosaic accepts it
+# and the standalone wide-shape kernel measures full speed.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -128,7 +139,8 @@ def _fold_lr(wl, wr, lcl):
     return wl + lcl * wr, (1.0 - lcl) * wr
 
 
-def _block_sweep(img_ref, channels, xL, yT, yB, coeff_fn, accum_fn, init):
+def _block_sweep(img_ref, channels, xL, yT, yB, coeff_fn, accum_fn, init,
+                 packed_lr=False):
     """Loop over the source blocks any LEFT corner touches; ``init`` is a
     pytree of (TH, TW) f32 loop-carried accumulators.
 
@@ -159,24 +171,40 @@ def _block_sweep(img_ref, channels, xL, yT, yB, coeff_fn, accum_fn, init):
         def cb_body(cb, acc):
             xLl = jnp.clip(xL - cb * _TW, 0, _TW - 1)
             okL = (xL >= cb * _TW) & (xL < (cb + 1) * _TW)
-            tiles = [(img_ref[0, ch, pl.ds(rb * _TH, _TH),
-                              pl.ds(cb * _TW, _TW)],
-                      img_ref[0, channels + ch, pl.ds(rb * _TH, _TH),
-                              pl.ds(cb * _TW, _TW)])
-                     for ch in range(channels)]
+            if packed_lr:
+                # one f32 plane per channel, lanes = packed (L, R) bf16 pair
+                tiles = [img_ref[0, ch, pl.ds(rb * _TH, _TH),
+                                 pl.ds(cb * _TW, _TW)]
+                         for ch in range(channels)]
+            else:
+                tiles = [(img_ref[0, ch, pl.ds(rb * _TH, _TH),
+                                  pl.ds(cb * _TW, _TW)],
+                          img_ref[0, channels + ch, pl.ds(rb * _TH, _TH),
+                                  pl.ds(cb * _TW, _TW)])
+                         for ch in range(channels)]
             for s in range(_TH):  # static unroll
                 srow = rb * _TH + s
                 fT = ((yT == srow) & okL).astype(jnp.float32)
                 fB = ((yB == srow) & okL).astype(jnp.float32)
                 coeffs = coeff_fn(fT, fB)
                 for ch in range(channels):  # static unroll
-                    tl, tr = tiles[ch]
-                    rowL = jnp.broadcast_to(tl[s:s + 1],
-                                            (_TH, _TW)).astype(jnp.float32)
-                    rowR = jnp.broadcast_to(tr[s:s + 1],
-                                            (_TH, _TW)).astype(jnp.float32)
-                    gL = jnp.take_along_axis(rowL, xLl, axis=1)
-                    gR = jnp.take_along_axis(rowR, xLl, axis=1)
+                    if packed_lr:
+                        row = jnp.broadcast_to(tiles[ch][s:s + 1],
+                                               (_TH, _TW))
+                        g2 = pltpu.bitcast(
+                            jnp.take_along_axis(row, xLl, axis=1),
+                            jnp.uint32)
+                        gL = pltpu.bitcast(g2 & jnp.uint32(0xFFFF0000),
+                                           jnp.float32)
+                        gR = pltpu.bitcast(g2 << 16, jnp.float32)
+                    else:
+                        tl, tr = tiles[ch]
+                        rowL = jnp.broadcast_to(
+                            tl[s:s + 1], (_TH, _TW)).astype(jnp.float32)
+                        rowR = jnp.broadcast_to(
+                            tr[s:s + 1], (_TH, _TW)).astype(jnp.float32)
+                        gL = jnp.take_along_axis(rowL, xLl, axis=1)
+                        gR = jnp.take_along_axis(rowR, xLl, axis=1)
                     acc = accum_fn(acc, ch, gL, gR, coeffs)
             return acc
 
@@ -186,7 +214,7 @@ def _block_sweep(img_ref, channels, xL, yT, yB, coeff_fn, accum_fn, init):
 
 
 def _fwd_kernel(dx_ref, dy_ref, img_ref, out_ref, *, height, width,
-                channels):
+                channels, packed_lr=False):
     r = pl.program_id(1)
     c = pl.program_id(2)
     a, b, xL, yT, yB, lcl = _coords(dx_ref[0], dy_ref[0], r, c, height, width)
@@ -202,13 +230,14 @@ def _fwd_kernel(dx_ref, dy_ref, img_ref, out_ref, *, height, width,
         return acc[:ch] + [acc[ch] + (gL * aL + gR * aR)] + acc[ch + 1:]
 
     init = [jnp.zeros((_TH, _TW), jnp.float32) for _ in range(channels)]
-    acc = _block_sweep(img_ref, channels, xL, yT, yB, coeffs, accum, init)
+    acc = _block_sweep(img_ref, channels, xL, yT, yB, coeffs, accum, init,
+                       packed_lr=packed_lr)
     for ch in range(channels):
         out_ref[0, ch] = acc[ch].astype(out_ref.dtype)
 
 
 def _fwd_tangents_kernel(dx_ref, dy_ref, img_ref, out_ref, d1_ref, d2_ref,
-                         *, height, width, channels):
+                         *, height, width, channels, packed_lr=False):
     """Forward warp + the analytic flow tangents, one sweep.
 
     d1[c] = dout_c/d(dx) = (1-b)(iTR-iTL) + b(iBR-iBL)
@@ -249,7 +278,8 @@ def _fwd_tangents_kernel(dx_ref, dy_ref, img_ref, out_ref, d1_ref, d2_ref,
                      for _ in range(channels)]
     init = (zeros(), zeros(), zeros())
     out_a, d1_a, d2_a = _block_sweep(img_ref, channels, xL, yT, yB,
-                                     coeffs, accum, init)
+                                     coeffs, accum, init,
+                                     packed_lr=packed_lr)
     for ch in range(channels):
         out_ref[0, ch] = out_a[ch].astype(out_ref.dtype)
         d1_ref[0, ch] = d1_a[ch]
@@ -257,7 +287,7 @@ def _fwd_tangents_kernel(dx_ref, dy_ref, img_ref, out_ref, d1_ref, d2_ref,
 
 
 def _grad_flow_kernel(dx_ref, dy_ref, img_ref, g_ref, ddx_ref, ddy_ref,
-                      *, height, width, channels):
+                      *, height, width, channels, packed_lr=False):
     r = pl.program_id(1)
     c = pl.program_id(2)
     a, b, xL, yT, yB, lcl = _coords(dx_ref[0], dy_ref[0], r, c, height, width)
@@ -283,7 +313,7 @@ def _grad_flow_kernel(dx_ref, dy_ref, img_ref, g_ref, ddx_ref, ddy_ref,
     init = (jnp.zeros((_TH, _TW), jnp.float32),
             jnp.zeros((_TH, _TW), jnp.float32))
     acc_dx, acc_dy = _block_sweep(img_ref, channels, xL, yT, yB, coeffs,
-                                  accum, init)
+                                  accum, init, packed_lr=packed_lr)
     ddx_ref[0] = acc_dx
     ddy_ref[0] = acc_dy
 
@@ -303,19 +333,36 @@ def _planes_pair(x):
     return jnp.concatenate([p, shifted], axis=1)
 
 
+def _planes_pair_packed_bf16(x):
+    """bf16 (B, H, W, C) -> f32-typed (B, C, H, W) planes whose lanes pack
+    the (L, R) corner pair as two bf16s: bits = (bf16(x[.., j]) << 16) |
+    bf16(x[.., j+1 clamped]).  ONE lane gather then recovers both corners
+    with a mask and a shift (a bf16's f32 image is its bits << 16), halving
+    the kernels' gather count — exactly the values the unpacked bf16 path
+    gathers, so bf16-mode numerics are unchanged."""
+    p = jnp.transpose(x, (0, 3, 1, 2))
+    shifted = jnp.concatenate([p[..., 1:], p[..., -1:]], axis=-1)
+    hi = jax.lax.bitcast_convert_type(p, jnp.uint16).astype(jnp.uint32) << 16
+    lo = jax.lax.bitcast_convert_type(shifted, jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
+
+
 @jax.jit
 def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
     """Forward bilinear warp; img (B, H, W, C) f32/bf16, flow (B, H, W, 2)."""
     true_h, true_w = img.shape[1:3]
     img, flow, _ = _pad_edge(img, flow)
     batch, height, width, channels = img.shape
-    planes = _planes_pair(img)
+    packed_lr = img.dtype == jnp.bfloat16
+    planes = (_planes_pair_packed_bf16(img) if packed_lr
+              else _planes_pair(img))
+    nplanes = channels if packed_lr else 2 * channels
     dx = flow[..., 0].astype(jnp.float32)
     dy = flow[..., 1].astype(jnp.float32)
 
     grid = (batch, height // _TH, width // _TW)
     kernel = functools.partial(_fwd_kernel, height=height, width=width,
-                               channels=channels)
+                               channels=channels, packed_lr=packed_lr)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -324,7 +371,7 @@ def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * channels, height, width),
+            pl.BlockSpec((1, nplanes, height, width),
                          lambda b, r, c: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -333,6 +380,7 @@ def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, channels, height, width),
                                        img.dtype),
+        compiler_params=_VMEM_PARAMS,
     )(dx, dy, planes)
     return jnp.transpose(out, (0, 2, 3, 1))[:, :true_h, :true_w]
 
@@ -347,13 +395,17 @@ def resample2d_bilinear_tangents_pallas(img: jax.Array, flow: jax.Array):
     true_h, true_w = img.shape[1:3]
     img, flow, _ = _pad_edge(img, flow)
     batch, height, width, channels = img.shape
-    planes = _planes_pair(img)
+    packed_lr = img.dtype == jnp.bfloat16
+    planes = (_planes_pair_packed_bf16(img) if packed_lr
+              else _planes_pair(img))
+    nplanes = channels if packed_lr else 2 * channels
     dx = flow[..., 0].astype(jnp.float32)
     dy = flow[..., 1].astype(jnp.float32)
 
     grid = (batch, height // _TH, width // _TW)
     kernel = functools.partial(_fwd_tangents_kernel, height=height,
-                               width=width, channels=channels)
+                               width=width, channels=channels,
+                               packed_lr=packed_lr)
     pspec = lambda: pl.BlockSpec((1, channels, _TH, _TW),
                                  lambda b, r, c: (b, 0, r, c),
                                  memory_space=pltpu.VMEM)
@@ -365,7 +417,7 @@ def resample2d_bilinear_tangents_pallas(img: jax.Array, flow: jax.Array):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * channels, height, width),
+            pl.BlockSpec((1, nplanes, height, width),
                          lambda b, r, c: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -377,6 +429,7 @@ def resample2d_bilinear_tangents_pallas(img: jax.Array, flow: jax.Array):
             jax.ShapeDtypeStruct((batch, channels, height, width),
                                  jnp.float32),
         ),
+        compiler_params=_VMEM_PARAMS,
     )(dx, dy, planes)
     unp = lambda x: jnp.transpose(x, (0, 2, 3, 1))[:, :true_h, :true_w]
     return unp(out), unp(d1), unp(d2)
@@ -393,14 +446,17 @@ def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
     true_h, true_w = img.shape[1:3]
     img, flow, g = _pad_edge(img, flow, g)
     batch, height, width, channels = img.shape
-    planes = _planes_pair(img)
+    packed_lr = img.dtype == jnp.bfloat16
+    planes = (_planes_pair_packed_bf16(img) if packed_lr
+              else _planes_pair(img))
+    nplanes = channels if packed_lr else 2 * channels
     gplanes = _planes(g)
     dx = flow[..., 0].astype(jnp.float32)
     dy = flow[..., 1].astype(jnp.float32)
 
     grid = (batch, height // _TH, width // _TW)
     kernel = functools.partial(_grad_flow_kernel, height=height, width=width,
-                               channels=channels)
+                               channels=channels, packed_lr=packed_lr)
     ddx, ddy = pl.pallas_call(
         kernel,
         grid=grid,
@@ -409,7 +465,7 @@ def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * channels, height, width),
+            pl.BlockSpec((1, nplanes, height, width),
                          lambda b, r, c: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, channels, _TH, _TW),
@@ -426,5 +482,6 @@ def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
             jax.ShapeDtypeStruct((batch, height, width), jnp.float32),
             jax.ShapeDtypeStruct((batch, height, width), jnp.float32),
         ),
+        compiler_params=_VMEM_PARAMS,
     )(dx, dy, planes, gplanes)
     return jnp.stack([ddx, ddy], axis=-1)[:, :true_h, :true_w]

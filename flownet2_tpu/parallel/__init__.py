@@ -6,4 +6,5 @@ from .mesh import (  # noqa: F401
     MeshPlan,
     init_distributed,
     make_mesh,
+    scoped_mesh,
 )

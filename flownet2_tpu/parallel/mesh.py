@@ -19,6 +19,7 @@ shards (data.loader.DataLoader process_count/process_index).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Optional, Sequence
 
@@ -48,6 +49,14 @@ def init_distributed(coordinator: Optional[str] = None,
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         # env-driven (JAX's auto-detect only covers managed clusters —
         # SLURM/GKE — so read the standard variables explicitly)
+        missing = [v for v in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+                   if v not in os.environ]
+        if missing:
+            raise RuntimeError(
+                "JAX_COORDINATOR_ADDRESS is set but distributed bring-up "
+                f"also needs {' and '.join(missing)} — set all three "
+                "(coordinator address, total process count, this process's "
+                "0-based id) or none")
         jax.distributed.initialize(
             coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
@@ -61,12 +70,19 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               spatial: int = 1) -> Mesh:
     """(n/spatial, spatial) mesh over ``devices`` with (data, spatial) axes.
 
-    Registers the mesh with the ops-layer sharding hints: Pallas kernels
-    inside steps traced under a data-sharded mesh run through a data-axis
-    ``shard_map`` (the canonical distributed-Pallas composition), while a
-    non-trivial spatial axis routes them to their XLA fallbacks (GSPMD
-    halo-partitions those; it cannot partition an opaque custom call along
-    H).  ops/sharding_hints.py; pinned by tests/test_pallas_sharding.py.
+    Registers the mesh as the ACTIVE mesh with the ops-layer sharding
+    hints: Pallas kernels inside steps traced under a data-sharded mesh
+    run through a data-axis ``shard_map`` (the canonical distributed-Pallas
+    composition), while a non-trivial spatial axis routes them to their
+    XLA fallbacks (GSPMD halo-partitions those; it cannot partition an
+    opaque custom call along H).  ops/sharding_hints.py; pinned by
+    tests/test_pallas_sharding.py.
+
+    The registration is process-global and resolved at TRACE time: jitted
+    callables traced under one active mesh keep its kernel composition —
+    after activating a different mesh, re-trace (new ``jax.jit``) any step
+    that should follow it, or use ``scoped_mesh`` to restore the previous
+    registration automatically.
     """
     from ..ops.sharding_hints import set_active_mesh
 
@@ -78,6 +94,21 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     mesh = Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
     set_active_mesh(mesh, spatial > 1)
     return mesh
+
+
+@contextlib.contextmanager
+def scoped_mesh(devices: Optional[Sequence[jax.Device]] = None,
+                spatial: int = 1):
+    """``make_mesh`` with scoped hint registration: restores the previously
+    active mesh (or none) on exit, so sweeps over mesh sizes (e.g.
+    bench.py's scaling table) don't leave a stale registration behind."""
+    from ..ops import sharding_hints
+
+    prev = (sharding_hints._ACTIVE_MESH, sharding_hints._SPATIAL_SHARDED)
+    try:
+        yield make_mesh(devices, spatial)
+    finally:
+        sharding_hints.set_active_mesh(*prev)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -353,9 +353,17 @@ def test_bench_scaling_table_runs_multi_device():
     spec.loader.exec_module(bench)
 
     rows = bench.scaling_table(model_name="FlowNet2S", per_device_batch=1,
-                               h=64, w=64, device_counts=(1, 2), iters=3)
+                               h=64, w=64, device_counts=(1, 2), iters=3,
+                               train_iters=3)
     assert [r["devices"] for r in rows] == [1, 2]
     for r in rows:
         assert r["fps"] > 0
-        assert 0 < r["efficiency"] <= 1.5
+        assert r["train_fps"] > 0
+        # Efficiency is a wall-clock ratio: on a loaded CI machine the
+        # 2-device CPU-mesh row can spuriously "super-scale" (the 1-device
+        # timing absorbed the contention), so only sanity-bound it
+        # (r3 flake: a 1.5 upper bound went red under pytest -n load).
+        assert 0 < r["efficiency"] <= 8.0
+        assert 0 < r["train_efficiency"] <= 8.0
     assert rows[0]["efficiency"] == 1.0
+    assert rows[0]["train_efficiency"] == 1.0
