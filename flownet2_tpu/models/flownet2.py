@@ -30,11 +30,14 @@ from .flownet_s import FlowNetS
 from .flownet_sd import FlowNetFusion, FlowNetSD
 
 
-def normalize_pair(inputs: jax.Array, rgb_max: float):
+def normalize_pair(inputs: jax.Array, rgb_max: float, dtype=None):
     """Reference input normalisation (models.py:121-126).
 
     inputs: (B, 2, H, W, 3) uint/float RGB.
-    Returns (x1, x2): two (B, H, W, 3) normalised frames.
+    Returns (x1, x2): two (B, H, W, 3) normalised frames, cast to ``dtype``
+    when given (the bf16 model casts ONCE here, so downstream glue — warps
+    included — runs in the reduced precision end-to-end; the bf16 warp
+    kernels then use single-gather packed (L, R) pairs).
     """
     if inputs.ndim != 5 or inputs.shape[1] != 2 or inputs.shape[-1] != 3:
         raise ValueError(
@@ -49,6 +52,8 @@ def normalize_pair(inputs: jax.Array, rgb_max: float):
             "resize the frames (see data.datasets render_size handling)")
     rgb_mean = inputs.mean(axis=(1, 2, 3), keepdims=True)
     x = (inputs - rgb_mean) / rgb_max
+    if dtype is not None:
+        x = x.astype(dtype)
     return x[:, 0], x[:, 1]
 
 
@@ -65,7 +70,7 @@ class FlowNet2(nn.Module):
     @nn.compact
     def __call__(self, inputs: jax.Array, training: bool = False,
                  train_bn: bool = False):
-        x1, x2 = normalize_pair(inputs, self.rgb_max)
+        x1, x2 = normalize_pair(inputs, self.rgb_max, self.dtype)
         x = cat([x1, x2])
 
         # flownetc
@@ -126,7 +131,7 @@ class FlowNet2C(nn.Module):
     @nn.compact
     def __call__(self, inputs: jax.Array, training: bool = False,
                  train_bn: bool = False):
-        x1, x2 = normalize_pair(inputs, self.rgb_max)
+        x1, x2 = normalize_pair(inputs, self.rgb_max, self.dtype)
         flows = FlowNetC(self.batch_norm, self.dtype,
                          name="flownetc")(x1, x2, True, train_bn)
         if training:
@@ -144,7 +149,7 @@ class FlowNet2S(nn.Module):
     @nn.compact
     def __call__(self, inputs: jax.Array, training: bool = False,
                  train_bn: bool = False):
-        x1, x2 = normalize_pair(inputs, self.rgb_max)
+        x1, x2 = normalize_pair(inputs, self.rgb_max, self.dtype)
         x = cat([x1, x2])
         flows = FlowNetS(6, self.batch_norm, self.dtype,
                          name="flownets")(x, True, train_bn)
@@ -163,7 +168,7 @@ class FlowNet2SD(nn.Module):
     @nn.compact
     def __call__(self, inputs: jax.Array, training: bool = False,
                  train_bn: bool = False):
-        x1, x2 = normalize_pair(inputs, self.rgb_max)
+        x1, x2 = normalize_pair(inputs, self.rgb_max, self.dtype)
         x = cat([x1, x2])
         flows = FlowNetSD(self.batch_norm, self.dtype,
                           name="flownetsd")(x, True, train_bn)
@@ -184,7 +189,7 @@ class FlowNet2CS(nn.Module):
     @nn.compact
     def __call__(self, inputs: jax.Array, training: bool = False,
                  train_bn: bool = False):
-        x1, x2 = normalize_pair(inputs, self.rgb_max)
+        x1, x2 = normalize_pair(inputs, self.rgb_max, self.dtype)
         x = cat([x1, x2])
 
         flownetc_flow2 = FlowNetC(self.batch_norm, self.dtype,
@@ -214,7 +219,7 @@ class FlowNet2CSS(nn.Module):
     @nn.compact
     def __call__(self, inputs: jax.Array, training: bool = False,
                  train_bn: bool = False):
-        x1, x2 = normalize_pair(inputs, self.rgb_max)
+        x1, x2 = normalize_pair(inputs, self.rgb_max, self.dtype)
         x = cat([x1, x2])
 
         flownetc_flow2 = FlowNetC(self.batch_norm, self.dtype,

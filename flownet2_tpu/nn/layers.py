@@ -40,77 +40,6 @@ def leaky_relu(x: jax.Array) -> jax.Array:
     return jax.nn.leaky_relu(x, negative_slope=0.1)
 
 
-# ---------------------------------------------------------------------------
-# Phase-packed 3x3 stride-1 conv (space-to-depth) for small-Cout layers
-# ---------------------------------------------------------------------------
-# A 3x3/s1 conv with few output channels starves the MXU's 128-lane output
-# dim: measured on v5e, Fusion's full-res layers run at 0.3-15 TF/s
-# (predict_flow0 16->2: 0.3; interconv0 82->16: 8.2; conv0 11->64: 9.1)
-# while the >=128-channel layers hit 50-90 TF/s.  Packing 2x2 output pixels
-# into channels rewrites the conv EXACTLY as a 2x2 conv at half resolution
-# with (4*Cin -> 4*Cout) channels: out[2u+p, 2v+q] only reads taps at
-# block offsets (p + 2A - 2 + a, q + 2B - 2 + b) for A,B in {0,1} and input
-# phases a,b — per (p, dy) exactly one (A, a) pair is valid, so the packed
-# kernel K2 holds each original tap once (structural zeros elsewhere) and
-# the FLOP count grows 16/9x for a ~4x wider MXU output — a large net win
-# on the layers above.  Numerics: same products, reassociated sums.
-
-def _packed_kernel(kernel: jax.Array) -> jax.Array:
-    """(3, 3, C, Co) -> (2, 2, 4C, 4Co) phase-packed kernel.
-
-    K2[A, B, (a,b,c), (p,q,co)] = K[1+dy, 1+dx, c, co] with
-    dy = p + 2A - 2 + a, dx = q + 2B - 2 + b when both are in [-1, 1].
-    """
-    c, co = kernel.shape[2], kernel.shape[3]
-    k2 = jnp.zeros((2, 2, 2, 2, c, 2, 2, co), kernel.dtype)  # A a B b c p q co
-    for p in (0, 1):
-        for capital_a in (0, 1):
-            for a in (0, 1):
-                dy = p + 2 * capital_a - 2 + a
-                if not -1 <= dy <= 1:
-                    continue
-                for q in (0, 1):
-                    for capital_b in (0, 1):
-                        for b in (0, 1):
-                            dx = q + 2 * capital_b - 2 + b
-                            if not -1 <= dx <= 1:
-                                continue
-                            k2 = k2.at[capital_a, a, capital_b, b, :, p, q, :] \
-                                .set(kernel[1 + dy, 1 + dx])
-    # (A, a, B, b, c, p, q, co) -> (A, B, (a, b, c), (p, q, co))
-    return k2.transpose(0, 2, 1, 3, 4, 5, 6, 7).reshape(2, 2, 4 * c, 4 * co)
-
-
-def conv3x3_s1_packed(x: jax.Array, kernel: jax.Array,
-                      dtype: Dtype) -> jax.Array:
-    """Exact 'SAME' 3x3/s1 conv via 2x2 phase packing (see above).
-
-    x: (B, H, W, C) with even H, W; kernel: (3, 3, C, Co) HWIO.
-    """
-    batch, height, width, c = x.shape
-    co = kernel.shape[3]
-    hh, hw = height // 2, width // 2
-    # space-to-depth: (B, H/2, W/2, (a, b, c))
-    xs = x.astype(dtype).reshape(batch, hh, 2, hw, 2, c) \
-        .transpose(0, 1, 3, 2, 4, 5).reshape(batch, hh, hw, 4 * c)
-    xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    y = jax.lax.conv_general_dilated(
-        xp, _packed_kernel(kernel).astype(dtype),
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )  # (B, H/2+1, W/2+1, (p, q, co))
-    # out[2u+p, 2v+q, co] = y[u+p, v+q, (p, q, co)] — same interleave as
-    # _TransposedConv below
-    phases = [
-        y[:, p:p + hh, q:q + hw, (2 * p + q) * co:(2 * p + q + 1) * co]
-        for p in (0, 1) for q in (0, 1)
-    ]
-    out = jnp.stack(
-        [jnp.stack(phases[0:2], axis=3), jnp.stack(phases[2:4], axis=3)],
-        axis=2)
-    return out.reshape(batch, height, width, co)
-
-
 def conv3x3_s1_tap(x: jax.Array, kernel: jax.Array, dtype: Dtype) -> jax.Array:
     """Exact 'SAME' 3x3/s1 conv as ONE matmul with the 9 taps packed into
     the output lanes, + 9 statically-shifted adds.
@@ -258,11 +187,12 @@ def _conv2d(x, features, kernel_size, stride, use_bias, dtype, name,
     through the space-to-depth rewrites (_PackedConv / nn.packed) used by
     the full-res levels of FlowNetFusion / FlowNetSD.
 
-    NOTE: a phase-packed (space-to-depth) routing for small-Cout full-res
-    layers was measured on v5e and LOST to the direct conv at the model
-    level (63 -> 88 ms FlowNet2 fwd): the HBM transposes for packing cost
-    more than the MXU lane-width win.  conv3x3_s1_packed is kept (tested)
-    for in-VMEM use by future Pallas fusions, but nothing routes to it.
+    A standalone per-layer phase-packed routing (space-to-depth in, conv,
+    depth-to-space out for ONE layer) was measured on v5e in round 3 and
+    LOST at the model level (63 -> 88 ms FlowNet2 fwd: the per-layer HBM
+    transposes cost more than the MXU lane win); the subnet-level packed
+    reps in nn/packed.py supersede it (one relayout per LEVEL, not per
+    layer) and the per-layer helper has been removed.
     """
     if packed_mode is not None:
         return _PackedConv(features, packed_mode, kernel_size,

@@ -121,45 +121,62 @@ class TestShapes:
         assert "batch_stats" in updates
 
 
-class TestPackedConv:
-    """conv3x3_s1_packed must be numerically the same conv (values and
-    grads) — it rearranges compute for MXU lane width, nothing else.  The
-    full-res layers it serves (Fusion/SD conv0, interconvs, predict_flow0)
-    are above the _PACK_MIN_PIXELS threshold; the torch-parity suite runs
-    below it, so this test pins the equivalence directly."""
+class TestPackedSubnetGrads:
+    """Gradients through the subnet-level packed reps (nn/packed.py) must
+    match the direct convs — the packed path is on the TRAINING path of
+    FlowNetFusion / FlowNetSD."""
 
     def _direct(self, x, kernel):
         return jax.lax.conv_general_dilated(
             x, kernel, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    def test_matches_direct_conv(self):
-        from flownet2_tpu.nn.layers import conv3x3_s1_packed
+    def test_a2s_s2a_chain_grads_match(self):
+        from flownet2_tpu.nn import packed as P
         rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.randn(2, 16, 20, 5).astype(np.float32))
-        k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
-        got = np.asarray(conv3x3_s1_packed(x, k, jnp.float32))
-        want = np.asarray(self._direct(x, k))
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-    def test_grads_match(self):
-        from flownet2_tpu.nn.layers import conv3x3_s1_packed
-        rng = np.random.RandomState(1)
         x = jnp.asarray(rng.randn(1, 8, 12, 3).astype(np.float32))
-        k = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32))
+        k1 = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32)) * 0.3
+        k2 = jnp.asarray(rng.randn(3, 3, 4, 2).astype(np.float32)) * 0.3
+
+        def loss_packed(xx, kk1, kk2):
+            a = P.space_to_depth(xx)
+            st = P.staggered_mask(P.conv_a2s(a, kk1), 4)
+            al = P.conv_s2a(st, kk2)
+            return jnp.sum(al ** 2)
+
+        def loss_direct(xx, kk1, kk2):
+            return jnp.sum(P.space_to_depth(
+                self._direct(self._direct(xx, kk1), kk2)) ** 2)
+
+        g1 = jax.grad(loss_packed, argnums=(0, 1, 2))(x, k1, k2)
+        g2 = jax.grad(loss_direct, argnums=(0, 1, 2))(x, k1, k2)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_tconv_staggered_grads_match(self):
+        from flownet2_tpu.nn import packed as P
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 4, 6, 5).astype(np.float32))
+        k = jnp.asarray(rng.randn(4, 4, 5, 3).astype(np.float32)) * 0.3
+
+        def tconv_dilated(xx, kk):
+            return jax.lax.conv_general_dilated(
+                xx, kk, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         def loss_packed(xx, kk):
-            return jnp.sum(conv3x3_s1_packed(xx, kk, jnp.float32) ** 2)
+            st = P.staggered_mask(P.tconv_to_staggered(xx, kk), 3)
+            return jnp.sum(P.staggered_to_full(st, 3) ** 2)
 
         def loss_direct(xx, kk):
-            return jnp.sum(self._direct(xx, kk) ** 2)
+            return jnp.sum(tconv_dilated(xx, kk) ** 2)
 
-        gx1, gk1 = jax.grad(loss_packed, argnums=(0, 1))(x, k)
-        gx2, gk2 = jax.grad(loss_direct, argnums=(0, 1))(x, k)
-        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
-                                   rtol=1e-4, atol=1e-4)
-        np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2),
-                                   rtol=1e-4, atol=1e-4)
+        g1 = jax.grad(loss_packed, argnums=(0, 1))(x, k)
+        g2 = jax.grad(loss_direct, argnums=(0, 1))(x, k)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
 
 
 class TestTransposedConvVJP:
@@ -236,3 +253,29 @@ class TestTapConv:
         want = np.asarray(self._direct(x, v["params"]["conv"]["kernel"])
                           + v["params"]["conv"]["bias"])
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestBf16Precision:
+    """The bf16 precision mode (model dtype=bfloat16: bf16 convs AND bf16
+    glue/warps via the single cast in normalize_pair) must track the f32
+    model within a relaxed tolerance on the same weights — the mode's
+    parity contract (VERDICT r3 next #2)."""
+
+    def test_flownet2_bf16_tracks_f32(self):
+        from flownet2_tpu.models import get_model
+
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(
+            rng.rand(1, 2, 64, 128, 3).astype(np.float32) * 255.0)
+        m32 = get_model("FlowNet2")
+        m16 = get_model("FlowNet2", dtype=jnp.bfloat16)
+        variables = jax.jit(m32.init)(jax.random.PRNGKey(0), images)
+        f32 = np.asarray(jax.jit(m32.apply)(variables, images))
+        f16 = np.asarray(
+            jax.jit(m16.apply)(variables, images)).astype(np.float32)
+        # flows from random weights are O(1e-1); allow bf16-scale error
+        # accumulated over the cascade
+        err = np.abs(f16 - f32)
+        scale = np.abs(f32).mean() + 1e-3
+        assert err.mean() < 0.05 * scale + 5e-3, (err.mean(), scale)
+        assert np.isfinite(f16).all()

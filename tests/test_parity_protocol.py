@@ -95,6 +95,33 @@ def test_protocol_end_to_end(sintel_tree, checkpoint, capsys):
     assert abs(r["delta"]) < 0.05
 
 
+# Golden EPE values for the seeded checkpoint + synthetic mini-Sintel above
+# (VERDICT r3 missing #1 / next #5): a numeric parity regression net until
+# the released checkpoints and real Sintel data exist.  Pinned from the CPU
+# stack (f32, jax_default_matmul_precision=highest — the conftest setting);
+# any > 1e-4 drift means the numerics of some op or the importer changed,
+# not just its speed.  Re-pin deliberately (run this file with -s and copy
+# the printed values) only when a change is *supposed* to move numerics.
+_GOLDEN_EPE = {"clean": 29.294785, "final": 29.294785}
+
+
+def test_protocol_pinned_golden_epe(sintel_tree, checkpoint, capsys):
+    for dstype, want in _GOLDEN_EPE.items():
+        rc = parity_protocol.main([
+            "--checkpoint", checkpoint, "--arch", "FlowNet2CS",
+            "--sintel_root", sintel_tree,
+            "--dstype", dstype, "--batch", "2", "--n_batches", "2",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0
+        result = json.loads(out.strip().splitlines()[-1])
+        epe = result["results"][0]["epe_tpu"]
+        print(f"golden-EPE {dstype}: measured {epe:.6f} (pinned {want})")
+        assert abs(epe - want) < 1e-4, (
+            f"{dstype} EPE {epe:.6f} drifted from pinned {want:.6f} — "
+            "a numeric change in ops/models/importer (see _GOLDEN_EPE note)")
+
+
 def test_protocol_arch_inference(checkpoint):
     arch, variables = parity_protocol.load_variables(checkpoint, None)
     assert arch == "FlowNet2CS"
