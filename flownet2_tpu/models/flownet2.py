@@ -23,8 +23,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.layers import cat
-from ..ops import (channel_norm, channel_norm_multi, resample2d,
-                   upsample_bilinear, upsample_nearest)
+from ..ops import (channel_norm, channel_norm_multi, fusion_glue,
+                   resample2d, stage_glue, upsample_bilinear,
+                   upsample_nearest)
 from .flownet_c import FlowNetC
 from .flownet_s import FlowNetS
 from .flownet_sd import FlowNetFusion, FlowNetSD
@@ -75,47 +76,35 @@ class FlowNet2(nn.Module):
 
         # flownetc
         flownetc_flow2 = FlowNetC(self.batch_norm, self.dtype,
-                                  name="flownetc")(x1, x2, False, train_bn)[0]
+                                  name="flownetc")(x1, x2, training, train_bn)[0]
         flownetc_flow = upsample_bilinear(flownetc_flow2 * self.div_flow, 4)
 
-        # warp img1 toward img0; diff magnitude (models.py:133-138)
-        resampled_img1 = resample2d(x2, flownetc_flow)
-        diff_img0 = x1 - resampled_img1
-        norm_diff_img0 = channel_norm(diff_img0)
-        concat1 = cat([x, resampled_img1, flownetc_flow / self.div_flow,
-                       norm_diff_img0])
+        # warp img1 toward img0; diff magnitude (models.py:133-138) — the
+        # fused stage glue computes the whole block with a channel-major
+        # hand-written VJP (ops/stage_glue.py)
+        concat1 = stage_glue(x, x2, flownetc_flow, self.div_flow)
 
         # flownets1
         flownets1_flow2 = FlowNetS(12, self.batch_norm, self.dtype,
-                                   name="flownets_1")(concat1, False, train_bn)[0]
+                                   name="flownets_1")(concat1, training, train_bn)[0]
         flownets1_flow = upsample_bilinear(flownets1_flow2 * self.div_flow, 4)
 
-        resampled_img1 = resample2d(x2, flownets1_flow)
-        diff_img0 = x1 - resampled_img1
-        norm_diff_img0 = channel_norm(diff_img0)
-        concat2 = cat([x, resampled_img1, flownets1_flow / self.div_flow,
-                       norm_diff_img0])
+        concat2 = stage_glue(x, x2, flownets1_flow, self.div_flow)
 
         # flownets2 (nearest upsample — models.py:71,154)
         flownets2_flow2 = FlowNetS(12, self.batch_norm, self.dtype,
-                                   name="flownets_2")(concat2, False, train_bn)[0]
+                                   name="flownets_2")(concat2, training, train_bn)[0]
         flownets2_flow = upsample_nearest(flownets2_flow2 * self.div_flow, 4)
-        diff_flownets2_flow = resample2d(x2, flownets2_flow)
 
         # flownetsd (nearest upsample + divide — models.py:70,167)
         flownetsd_flow2 = FlowNetSD(self.batch_norm, self.dtype,
-                                    name="flownets_d")(x, False, train_bn)[0]
+                                    name="flownets_d")(x, training, train_bn)[0]
         flownetsd_flow = upsample_nearest(flownetsd_flow2 / self.div_flow, 4)
-        diff_flownetsd_flow = resample2d(x2, flownetsd_flow)
 
-        # fusion (channel order: models.py:179).  The four 1-channel norm
-        # maps are computed packed (ops.channel_norm_multi): identical
-        # values and backward, one 4-channel tensor instead of four
-        # lane-padded (B, H, W, 1) pieces in the concat's backward split.
-        norms = channel_norm_multi(
-            flownetsd_flow, flownets2_flow,
-            x1 - diff_flownetsd_flow, x1 - diff_flownets2_flow)
-        concat3 = cat([x1, flownetsd_flow, flownets2_flow, norms])
+        # fusion input (warps + packed channel norms + concat,
+        # models.py:155-179) — fused block with a channel-major VJP
+        # (ops/stage_glue.py:fusion_glue)
+        concat3 = fusion_glue(x1, x2, flownetsd_flow, flownets2_flow)
         flownetfusion_flow = FlowNetFusion(self.batch_norm, self.dtype,
                                            name="flownetfusion")(concat3, train_bn)
         return flownetfusion_flow
@@ -193,14 +182,10 @@ class FlowNet2CS(nn.Module):
         x = cat([x1, x2])
 
         flownetc_flow2 = FlowNetC(self.batch_norm, self.dtype,
-                                  name="flownetc")(x1, x2, False, train_bn)[0]
+                                  name="flownetc")(x1, x2, training, train_bn)[0]
         flownetc_flow = upsample_bilinear(flownetc_flow2 * self.div_flow, 4)
 
-        resampled_img1 = resample2d(x2, flownetc_flow)
-        diff_img0 = x1 - resampled_img1
-        norm_diff_img0 = channel_norm(diff_img0)
-        concat1 = cat([x, resampled_img1, flownetc_flow / self.div_flow,
-                       norm_diff_img0])
+        concat1 = stage_glue(x, x2, flownetc_flow, self.div_flow)
 
         flows = FlowNetS(12, self.batch_norm, self.dtype,
                          name="flownets_1")(concat1, True, train_bn)
@@ -223,24 +208,16 @@ class FlowNet2CSS(nn.Module):
         x = cat([x1, x2])
 
         flownetc_flow2 = FlowNetC(self.batch_norm, self.dtype,
-                                  name="flownetc")(x1, x2, False, train_bn)[0]
+                                  name="flownetc")(x1, x2, training, train_bn)[0]
         flownetc_flow = upsample_bilinear(flownetc_flow2 * self.div_flow, 4)
 
-        resampled_img1 = resample2d(x2, flownetc_flow)
-        diff_img0 = x1 - resampled_img1
-        norm_diff_img0 = channel_norm(diff_img0)
-        concat1 = cat([x, resampled_img1, flownetc_flow / self.div_flow,
-                       norm_diff_img0])
+        concat1 = stage_glue(x, x2, flownetc_flow, self.div_flow)
 
         flownets1_flow2 = FlowNetS(12, self.batch_norm, self.dtype,
-                                   name="flownets_1")(concat1, False, train_bn)[0]
+                                   name="flownets_1")(concat1, training, train_bn)[0]
         flownets1_flow = upsample_bilinear(flownets1_flow2 * self.div_flow, 4)
 
-        resampled_img1 = resample2d(x2, flownets1_flow)
-        diff_img0 = x1 - resampled_img1
-        norm_diff_img0 = channel_norm(diff_img0)
-        concat2 = cat([x, resampled_img1, flownets1_flow / self.div_flow,
-                       norm_diff_img0])
+        concat2 = stage_glue(x, x2, flownets1_flow, self.div_flow)
 
         flows = FlowNetS(12, self.batch_norm, self.dtype,
                          name="flownets_2")(concat2, True, train_bn)

@@ -31,7 +31,14 @@ class FlowNetC(nn.Module):
         conv = lambda f, k=3, s=1, name=None: ConvBlock(
             f, k, s, batch_norm=bn, dtype=dt, name=name)
 
-        conv1 = conv(64, 7, 2, "conv1")
+        # Entry conv runs in the 2x2 packed rep at inference only (see
+        # FlowNetS.conv1 — the s2d backward regresses the train step);
+        # parameter tree identical either way.
+        packed_entry = (not self.batch_norm and not training
+                        and x1.shape[1] % 2 == 0 and x1.shape[2] % 2 == 0)
+        conv1 = ConvBlock(64, 7, 2, batch_norm=bn, dtype=dt,
+                          packed_mode="s2_aligned" if packed_entry else None,
+                          name="conv1")
         conv2 = conv(128, 5, 2, "conv2")
         conv3 = conv(256, 5, 2, "conv3")
 
@@ -50,8 +57,10 @@ class FlowNetC(nn.Module):
             out_conv2b = conv2(out_conv1b, train_bn)
             out_conv3b = conv3(out_conv2b, train_bn)
         else:
+            from ..nn import packed as P
             x12 = jnp.concatenate([x1, x2], axis=0)  # (2B, H, W, 3)
-            out_conv1 = conv1(x12, train_bn)
+            out_conv1 = conv1(P.space_to_depth(x12) if packed_entry else x12,
+                              train_bn)
             out_conv2 = conv2(out_conv1, train_bn)
             out_conv3 = conv3(out_conv2, train_bn)
             out_conv2a = out_conv2[:batch]

@@ -13,6 +13,7 @@ from typing import Any, Optional
 import jax
 from flax import linen as nn
 
+from ..nn import packed as P
 from ..nn.layers import ConvBlock, Deconv, PredictFlow, UpsampleFlow, cat
 
 
@@ -28,7 +29,18 @@ class FlowNetS(nn.Module):
         conv = lambda f, k=3, s=1, name=None: ConvBlock(
             f, k, s, batch_norm=bn, dtype=dt, name=name)
 
-        out_conv1 = conv(64, 7, 2, "conv1")(x, train_bn)
+        # Full-res 7x7/s2 entry conv in the 2x2 packed rep (4x4 window over
+        # 4x channels) at INFERENCE only: measured -1.7 ms/b8 fwd but
+        # +8 ms/step train (the space_to_depth backward adds a full-res
+        # relayout to the concat cotangent path), so the training forward
+        # keeps the direct conv.  Parameters identical either way.
+        packed_entry = (not bn and not training
+                        and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        conv1 = ConvBlock(64, 7, 2, batch_norm=bn, dtype=dt,
+                          packed_mode="s2_aligned" if packed_entry else None,
+                          name="conv1")
+        out_conv1 = conv1(P.space_to_depth(x) if packed_entry else x,
+                          train_bn)
         out_conv2 = conv(128, 5, 2, "conv2")(out_conv1, train_bn)
         out_conv3 = conv(256, 5, 2, "conv3")(out_conv2, train_bn)
         out_conv3 = conv(256, 3, 1, "conv3_1")(out_conv3, train_bn)

@@ -158,7 +158,7 @@ class _PackedConv(nn.Module):
         dtype = self.dtype or x.dtype
         xd = x.astype(dtype)
         kd = kernel.astype(dtype)
-        fn = {"a2s": P.conv_a2s, "s2a": P.conv_s2a,
+        fn = {"a2s": P.conv_a2s, "s2a": P.conv_s2a, "a2f": P.conv_a2f,
               "s2_stag": P.conv_s2_from_stag,
               "s2_aligned": P.conv_s2_from_aligned}[self.mode]
         if self.in_splits is not None:

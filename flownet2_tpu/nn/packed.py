@@ -243,6 +243,35 @@ def conv_s2_from_aligned(x: jax.Array, kernel: jax.Array,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _pack_kernel_a2f(kernel: jax.Array) -> jax.Array:
+    """(3, 3, Ci, Co) -> (4, 4, 4Ci, Co): 3x3/s1 SAME conv reading an
+    aligned input and emitting the UNPACKED full-res output in one
+    input-dilated conv (lhs_dilation=2, padding (2, 2)) — the composition
+    of the conv with the depth-to-space unpack, in the conv-transpose form
+    XLA lowers well.  Tap (dy, phase a) lands at dilated window offset
+    wy = dy - a + 2; only offsets matching the output row's parity hit
+    real (non-dilation-zero) input positions."""
+    ci, co = kernel.shape[2], kernel.shape[3]
+    k2 = jnp.zeros((4, 2, 4, 2, ci, co), kernel.dtype)  # wy a wx b ci co
+    for a in (0, 1):
+        for dy in (-1, 0, 1):
+            wy = dy - a + 2
+            for b in (0, 1):
+                for dx in (-1, 0, 1):
+                    wx = dx - b + 2
+                    k2 = k2.at[wy, a, wx, b].set(kernel[1 + dy, 1 + dx])
+    return k2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * ci, co)
+
+
+def conv_a2f(x: jax.Array, kernel: jax.Array, in_splits=None) -> jax.Array:
+    """3x3/s1 SAME conv, aligned input (B,h,w,4Ci) -> full-res unpacked
+    output (B,2h,2w,Co)."""
+    return jax.lax.conv_general_dilated(
+        x, _apply_splits(_pack_kernel_a2f(kernel), in_splits), (1, 1),
+        [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def tconv_to_staggered(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """ConvTranspose2d(4, 2, 1) (flipped-kernel storage, see nn.layers)
     from unpacked half-res input -> staggered full-res output

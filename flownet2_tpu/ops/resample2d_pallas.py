@@ -436,6 +436,63 @@ def resample2d_bilinear_tangents_pallas(img: jax.Array, flow: jax.Array):
 
 
 @jax.jit
+def resample2d_bilinear_tangents_cm(img: jax.Array, flow: jax.Array):
+    """Channel-major variant of the tangent-saving forward for the fused
+    stage glue (ops/stage_glue.py): returns
+
+      (out (B, H, W, C) in img dtype,
+       out_cm, d1_cm, d2_cm: (B, C, Hp, Wp) — the kernel's NATIVE plane
+       outputs, f32 tangents, H/W padded to tile multiples)
+
+    so the glue's backward can contract cotangents against the tangents in
+    channel-major form without any of the NHWC unpack transposes the plain
+    wrapper pays (out_cm doubles as the warp result for recomputing diff
+    in cm form)."""
+    true_h, true_w = img.shape[1:3]
+    imgp, flowp, _ = _pad_edge(img, flow)
+    batch, height, width, channels = imgp.shape
+    packed_lr = imgp.dtype == jnp.bfloat16
+    planes = (_planes_pair_packed_bf16(imgp) if packed_lr
+              else _planes_pair(imgp))
+    nplanes = channels if packed_lr else 2 * channels
+    dx = flowp[..., 0].astype(jnp.float32)
+    dy = flowp[..., 1].astype(jnp.float32)
+
+    grid = (batch, height // _TH, width // _TW)
+    kernel = functools.partial(_fwd_tangents_kernel, height=height,
+                               width=width, channels=channels,
+                               packed_lr=packed_lr)
+    pspec = lambda: pl.BlockSpec((1, channels, _TH, _TW),
+                                 lambda b, r, c: (b, 0, r, c),
+                                 memory_space=pltpu.VMEM)
+    out, d1, d2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TH, _TW), lambda b, r, c: (b, r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nplanes, height, width),
+                         lambda b, r, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pspec(), pspec(), pspec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, channels, height, width),
+                                 imgp.dtype),
+            jax.ShapeDtypeStruct((batch, channels, height, width),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((batch, channels, height, width),
+                                 jnp.float32),
+        ),
+        compiler_params=_VMEM_PARAMS,
+    )(dx, dy, planes)
+    out_nhwc = jnp.transpose(out, (0, 2, 3, 1))[:, :true_h, :true_w]
+    return out_nhwc, out, d1, d2
+
+
+@jax.jit
 def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
                                 flow: jax.Array) -> jax.Array:
     """Flow gradient of the bilinear warp.

@@ -1,0 +1,239 @@
+"""Fused cascade-stage glue: cat([x, warp(x2, flow), flow/div, ||x1-warp||]).
+
+The FlowNet2 cascade computes, between stages (models.py:133-151):
+
+    resampled = resample2d(x2, flow)
+    diff      = x1 - resampled                  (x1 = x[..., :3])
+    norm      = channel_norm(diff)
+    concat    = cat([x, resampled, flow/div_flow, norm])
+
+Left to autodiff, the backward of this block dominates the glue cost of
+the train step: the concat VJP slices the 12-channel cotangent into 3-, 2-
+and 1-channel pieces — each slice reads a lane-minor (B, H, W, smallC)
+tensor whose (8, 128) tiles are ~90% padding (measured 2.1 ms PER SLICE at
+b8 384x448, 6 slices/step across the two stages) — and the warp kernel's
+saved tangents get transposed to NHWC only to be contracted back.
+
+This op fuses the block with a hand-written VJP that works in
+CHANNEL-MAJOR form end-to-end: ONE (B, 12, H, W) transpose of the
+cotangent (slices along the leading channel dim are then free), diff/norm
+recomputed from the warp kernel's native (B, C, Hp, Wp) plane outputs, and
+the flow gradient contracted directly against the kernel's channel-major
+tangents (resample2d_pallas.resample2d_bilinear_tangents_cm).  The input
+cotangents d_x / d_x2 are still produced honestly (for completeness), but
+in every FlowNet model x and x2 are leaves, so XLA dead-code-eliminates
+them along with their expensive slices/scatters.
+
+Falls back to the plain composition (autodiff) whenever the Pallas warp
+path is unavailable (CPU tests, unsupported shapes, spatial sharding).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .channelnorm import channel_norm
+from .resample2d import _pallas_wrapper, _scatter_d_img, resample2d
+
+_EPS = 1e-9
+
+
+def _plain_glue(x, x2, flow, div_flow):
+    resampled = resample2d(x2, flow)
+    diff = x[..., :3] - resampled
+    norm = channel_norm(diff)
+    return jnp.concatenate(
+        [x, resampled, (flow / div_flow).astype(x.dtype), norm], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_glue(x, x2, flow, div_flow):
+    return _plain_glue(x, x2, flow, div_flow)
+
+
+def _fused_fwd(x, x2, flow, div_flow):
+    from .resample2d_pallas import resample2d_bilinear_tangents_cm
+
+    wrap = _pallas_wrapper(x2, 1, True)
+    fn = wrap(resample2d_bilinear_tangents_cm)
+    resampled, out_cm, d1_cm, d2_cm = fn(x2, flow)
+    x1 = x[..., :3]
+    diff = x1 - resampled
+    norm = channel_norm(diff)
+    concat = jnp.concatenate(
+        [x, resampled, (flow / div_flow).astype(x.dtype), norm], axis=-1)
+    return concat, (x1, x2, flow, out_cm, d1_cm, d2_cm)
+
+
+def _fused_bwd(div_flow, res, g):
+    x1, x2, flow, out_cm, d1_cm, d2_cm = res
+    batch, height, width, _ = x1.shape
+    hp, wp = out_cm.shape[2], out_cm.shape[3]
+
+    # ONE channel-major relayout of the 12-channel cotangent; slices along
+    # the leading channel dim below are free.
+    g_cm = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))
+    g_cm_p = jnp.pad(g_cm, ((0, 0), (0, 0), (0, hp - height),
+                            (0, wp - width)))
+    g_r = g_cm_p[:, 6:9]
+    g_f = g_cm[:, 9:11]
+    g_n = g_cm_p[:, 11:12]
+
+    # diff / norm recomputed in cm form from the kernel's native planes
+    x1_cm = jnp.pad(jnp.transpose(x1.astype(jnp.float32), (0, 3, 1, 2)),
+                    ((0, 0), (0, 0), (0, hp - height), (0, wp - width)))
+    diff_cm = x1_cm - out_cm.astype(jnp.float32)
+    norm_cm = jnp.sqrt(jnp.sum(diff_cm * diff_cm, axis=1, keepdims=True))
+    d_diff = g_n * diff_cm / (norm_cm + _EPS)   # channel_norm VJP
+    gw = g_r - d_diff                           # warp-output cotangent (cm)
+
+    # flow gradient: contraction against the kernel's cm tangents + the
+    # concat's flow/div piece — assembled per component, no transposes
+    dfx = jnp.sum(gw * d1_cm, axis=1)[:, :height, :width]
+    dfy = jnp.sum(gw * d2_cm, axis=1)[:, :height, :width]
+    d_flow = jnp.stack([dfx + g_f[:, 0] / div_flow,
+                        dfy + g_f[:, 1] / div_flow],
+                       axis=-1).astype(flow.dtype)
+
+    # Honest input cotangents — dead (and DCE'd) in every FlowNet model,
+    # where x/x2 are leaves.
+    d_diff_nhwc = jnp.transpose(
+        d_diff[:, :, :height, :width], (0, 2, 3, 1))
+    d_x = g[..., :6].astype(jnp.float32) + jnp.pad(
+        d_diff_nhwc, ((0, 0), (0, 0), (0, 0), (0, 3)))
+    gw_nhwc = jnp.transpose(gw[:, :, :height, :width], (0, 2, 3, 1))
+    d_x2 = _scatter_d_img(x2.astype(jnp.float32), flow, gw_nhwc, 1,
+                          height, width)
+    return d_x.astype(x1.dtype), d_x2.astype(x2.dtype), d_flow
+
+
+_fused_glue.defvjp(_fused_fwd, _fused_bwd)
+
+
+def stage_glue(x: jax.Array, x2: jax.Array, flow: jax.Array,
+               div_flow: float) -> jax.Array:
+    """cat([x, resample2d(x2, flow), flow/div_flow, ||x[..,:3]-warp||]).
+
+    x: (B, H, W, 6) the stacked frame pair; x2: (B, H, W, 3); flow
+    (B, H, W, 2).  Returns the stage's 12-channel concat
+    (/root/reference/models.py:133-138 and the S1/S2 repeats).
+    """
+    if _pallas_wrapper(x2, 1, True) is not None:
+        return _fused_glue(x, x2, flow, div_flow)
+    return _plain_glue(x, x2, flow, div_flow)
+
+
+# ---------------------------------------------------------------------------
+# Fusion-input glue: cat([x1, sd_flow, s2_flow, 4 channel norms])
+# ---------------------------------------------------------------------------
+
+def _plain_fusion_glue(x1, x2, sd_flow, s2_flow):
+    from .channelnorm import channel_norm_multi
+
+    warp_sd = resample2d(x2, sd_flow)
+    warp_s2 = resample2d(x2, s2_flow)
+    norms = channel_norm_multi(sd_flow, s2_flow, x1 - warp_sd, x1 - warp_s2)
+    return jnp.concatenate([x1, sd_flow, s2_flow, norms], axis=-1)
+
+
+@jax.custom_vjp
+def _fused_fusion_glue(x1, x2, sd_flow, s2_flow):
+    return _plain_fusion_glue(x1, x2, sd_flow, s2_flow)
+
+
+def _fusion_fwd(x1, x2, sd_flow, s2_flow):
+    from .resample2d_pallas import resample2d_bilinear_tangents_cm
+
+    wrap = _pallas_wrapper(x2, 1, True)
+    fn = wrap(resample2d_bilinear_tangents_cm)
+    warp_sd, sd_cm, d1sd, d2sd = fn(x2, sd_flow)
+    warp_s2, s2_cm, d1s2, d2s2 = fn(x2, s2_flow)
+    err_sd = x1 - warp_sd
+    err_s2 = x1 - warp_s2
+    norms = jnp.concatenate(
+        [jnp.sqrt(jnp.sum(t * t, axis=-1, keepdims=True))
+         for t in (sd_flow, s2_flow, err_sd, err_s2)], axis=-1)
+    concat = jnp.concatenate([x1, sd_flow, s2_flow, norms], axis=-1)
+    res = (x1, x2, sd_flow, s2_flow, sd_cm, s2_cm, d1sd, d2sd, d1s2, d2s2)
+    return concat, res
+
+
+def _fusion_bwd(res, g):
+    x1, x2, sd_flow, s2_flow, sd_cm, s2_cm, d1sd, d2sd, d1s2, d2s2 = res
+    batch, height, width, _ = x1.shape
+    hp, wp = sd_cm.shape[2], sd_cm.shape[3]
+
+    g_cm = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))  # (B, 11, H, W)
+    g_cm_p = jnp.pad(g_cm, ((0, 0), (0, 0), (0, hp - height),
+                            (0, wp - width)))
+    g_sdf = g_cm[:, 3:5]
+    g_s2f = g_cm[:, 5:7]
+    g_nsd_flow = g_cm[:, 7:8]      # d ||sd_flow||
+    g_ns2_flow = g_cm[:, 8:9]      # d ||s2_flow||
+    g_nerr_sd = g_cm_p[:, 9:10]    # d ||x1 - warp_sd||
+    g_nerr_s2 = g_cm_p[:, 10:11]   # d ||x1 - warp_s2||
+
+    x1_cm = jnp.pad(jnp.transpose(x1.astype(jnp.float32), (0, 3, 1, 2)),
+                    ((0, 0), (0, 0), (0, hp - height), (0, wp - width)))
+
+    def flow_grad(g_flow_direct, g_norm_flow, g_nerr, flow, warp_cm, d1, d2):
+        # norm-of-flow VJP in cm form
+        f_cm = jnp.transpose(flow.astype(jnp.float32), (0, 3, 1, 2))
+        nf = jnp.sqrt(jnp.sum(f_cm * f_cm, axis=1, keepdims=True))
+        d_f = g_norm_flow * f_cm / (nf + _EPS)
+        # norm-of-error VJP -> warp cotangent -> tangent contraction
+        err_cm = x1_cm - warp_cm.astype(jnp.float32)
+        ne = jnp.sqrt(jnp.sum(err_cm * err_cm, axis=1, keepdims=True))
+        d_err = g_nerr * err_cm / (ne + _EPS)
+        gw = -d_err                                   # (B, 3, Hp, Wp)
+        dfx = jnp.sum(gw * d1, axis=1)[:, :height, :width]
+        dfy = jnp.sum(gw * d2, axis=1)[:, :height, :width]
+        d_flow = jnp.stack(
+            [dfx + g_flow_direct[:, 0] + d_f[:, 0],
+             dfy + g_flow_direct[:, 1] + d_f[:, 1]],
+            axis=-1).astype(flow.dtype)
+        return d_flow, d_err
+
+    d_sd_flow, d_err_sd = flow_grad(g_sdf, g_nsd_flow, g_nerr_sd,
+                                    sd_flow, sd_cm, d1sd, d2sd)
+    d_s2_flow, d_err_s2 = flow_grad(g_s2f, g_ns2_flow, g_nerr_s2,
+                                    s2_flow, s2_cm, d1s2, d2s2)
+
+    # Honest input cotangents — dead (DCE'd) in the models.
+    d_x1 = (g[..., :3].astype(jnp.float32)
+            + jnp.transpose((d_err_sd + d_err_s2)[:, :, :height, :width],
+                            (0, 2, 3, 1)))
+    x2f = x2.astype(jnp.float32)
+    d_x2 = sum(
+        _scatter_d_img(
+            x2f, flow,
+            jnp.transpose(-d_err[:, :, :height, :width], (0, 2, 3, 1)),
+            1, height, width)
+        for flow, d_err in ((sd_flow, d_err_sd), (s2_flow, d_err_s2)))
+    return (d_x1.astype(x1.dtype), d_x2.astype(x2.dtype),
+            d_sd_flow, d_s2_flow)
+
+
+_fused_fusion_glue.defvjp(_fusion_fwd, _fusion_bwd)
+
+
+def fusion_glue(x1: jax.Array, x2: jax.Array, sd_flow: jax.Array,
+                s2_flow: jax.Array) -> jax.Array:
+    """The FlowNetFusion input block (models.py:155-179):
+
+        cat([x1, sd_flow, s2_flow,
+             ||sd_flow||, ||s2_flow||,
+             ||x1 - warp(x2, sd_flow)||, ||x1 - warp(x2, s2_flow)||])
+
+    returning the 11-channel concat3.  Fused for the same reason as
+    stage_glue: left to autodiff, channel_norm_multi's backward slices the
+    cotangent into 1-channel lane-minor pieces (the single most expensive
+    op in the round-4 train trace, 8.4 ms/step) and the two warps pay NHWC
+    transposes around their tangent contractions.
+    """
+    if _pallas_wrapper(x2, 1, True) is not None:
+        return _fused_fusion_glue(x1, x2, sd_flow, s2_flow)
+    return _plain_fusion_glue(x1, x2, sd_flow, s2_flow)

@@ -120,6 +120,14 @@ class TestPackedConvs:
         got = packed.conv_s2_from_aligned(a, k)
         np.testing.assert_allclose(got, want, atol=2e-5)
 
+    def test_conv_a2f(self, rng):
+        f = rand(rng, 2, 12, 16, 5)
+        k = rand(rng, 3, 3, 5, 2) * 0.1
+        want = direct_conv(f, k)
+        a = packed.space_to_depth(f)
+        got = packed.conv_a2f(a, k)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
     def test_tconv_to_staggered(self, rng):
         x = rand(rng, 2, 6, 8, 5)
         k = rand(rng, 4, 4, 5, 3) * 0.1

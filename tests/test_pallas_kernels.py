@@ -378,3 +378,117 @@ class TestResample2dTangents:
         _, want_flow = _resample2d_bwd(1, True, (img, flow, None), g)
         np.testing.assert_allclose(d_flow, np.asarray(want_flow),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestStageGlue:
+    """The fused cascade-stage glue (ops/stage_glue.py) must match the
+    plain composition — values AND gradients (its backward is hand-written
+    in channel-major form)."""
+
+    def _setup(self):
+        import importlib
+
+        r2d = importlib.import_module("flownet2_tpu.ops.resample2d")
+        sg = importlib.import_module("flownet2_tpu.ops.stage_glue")
+        x = _rand((2, 16, 128, 6), 31)
+        x2 = _rand((2, 16, 128, 3), 32)
+        flow = _rand((2, 16, 128, 2), 33, scale=5.0)
+        return r2d, sg, x, x2, flow
+
+    def test_fused_matches_plain(self):
+        r2d, sg, x, x2, flow = self._setup()
+        want = np.asarray(sg._plain_glue(x, x2, flow, 20.0))
+        r2d.set_use_pallas(True)
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(sg.stage_glue(x, x2, flow, 20.0))
+        finally:
+            r2d.set_use_pallas(None)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_fused_grads_match_plain(self):
+        r2d, sg, x, x2, flow = self._setup()
+
+        def loss(fn, xx, xx2, ff):
+            out = fn(xx, xx2, ff, 20.0)
+            return jnp.sum(out * out)
+
+        want = jax.grad(lambda f: loss(sg._plain_glue, x, x2, f))(flow)
+        r2d.set_use_pallas(True)
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = jax.grad(lambda f: loss(sg.stage_glue, x, x2, f))(flow)
+        finally:
+            r2d.set_use_pallas(None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_fused_input_grads_match_plain(self):
+        """d_x / d_x2 are dead in the models but must still be correct."""
+        r2d, sg, x, x2, flow = self._setup()
+
+        def loss(fn, xx, xx2, ff):
+            out = fn(xx, xx2, ff, 20.0)
+            return jnp.sum(out * out)
+
+        want = jax.grad(lambda a, b: loss(sg._plain_glue, a, b, flow),
+                        argnums=(0, 1))(x, x2)
+        r2d.set_use_pallas(True)
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = jax.grad(lambda a, b: loss(sg.stage_glue, a, b, flow),
+                               argnums=(0, 1))(x, x2)
+        finally:
+            r2d.set_use_pallas(None)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
+class TestFusionGlue:
+    """fusion_glue (concat3 + 4 channel norms + the two stage-3/4 warps)
+    must match the plain composition — values and all gradients."""
+
+    def _setup(self):
+        import importlib
+
+        r2d = importlib.import_module("flownet2_tpu.ops.resample2d")
+        sg = importlib.import_module("flownet2_tpu.ops.stage_glue")
+        x1 = _rand((2, 16, 128, 3), 41)
+        x2 = _rand((2, 16, 128, 3), 42)
+        sdf = _rand((2, 16, 128, 2), 43, 4.0)
+        s2f = _rand((2, 16, 128, 2), 44, 6.0)
+        return r2d, sg, x1, x2, sdf, s2f
+
+    def test_fused_matches_plain(self):
+        r2d, sg, x1, x2, sdf, s2f = self._setup()
+        want = np.asarray(sg._plain_fusion_glue(x1, x2, sdf, s2f))
+        r2d.set_use_pallas(True)
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(sg.fusion_glue(x1, x2, sdf, s2f))
+        finally:
+            r2d.set_use_pallas(None)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_fused_grads_match_plain(self):
+        r2d, sg, x1, x2, sdf, s2f = self._setup()
+
+        def loss(fn, a, b, c, d):
+            out = fn(a, b, c, d)
+            return jnp.sum(out * out)
+
+        want = jax.grad(lambda a, b, c, d: loss(sg._plain_fusion_glue,
+                                                a, b, c, d),
+                        argnums=(0, 1, 2, 3))(x1, x2, sdf, s2f)
+        r2d.set_use_pallas(True)
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = jax.grad(lambda a, b, c, d: loss(sg.fusion_glue,
+                                                       a, b, c, d),
+                               argnums=(0, 1, 2, 3))(x1, x2, sdf, s2f)
+        finally:
+            r2d.set_use_pallas(None)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
