@@ -1,6 +1,7 @@
 """Caffe importer: wire-format parsing + mapping parity with the
 reference's param_utils (run directly on torch CPU, no pycaffe needed)."""
 
+import os
 import struct
 import sys
 import types
@@ -338,3 +339,47 @@ class TestRealFileQuirks:
         assert layers["conv1"][0].dtype == np.float32
         np.testing.assert_array_equal(layers["conv1"][0],
                                       w.astype(np.float32))
+
+
+class TestConvertScript:
+    """scripts/convert.py: .caffemodel -> native Orbax checkpoint CLI (the
+    reference convert.py equivalent, /root/reference/convert.py:13-18)."""
+
+    def test_end_to_end(self, reference, tmp_path):
+        refmodels, param_utils, args = reference
+        rng = np.random.RandomState(7)
+        m = refmodels.FlowNet2S(args)
+        keys = ["conv1", "conv2", "conv3", "conv3_1", "conv4", "conv4_1",
+                "conv5", "conv5_1", "conv6", "conv6_1",
+                "deconv5", "deconv4", "deconv3", "deconv2",
+                "Convolution1", "Convolution2", "Convolution3",
+                "Convolution4", "Convolution5",
+                "upsample_flow6to5", "upsample_flow5to4",
+                "upsample_flow4to3", "upsample_flow3to2"]
+        blobs = _reference_blobs(m, keys, rng)
+        payload = _ld(1, b"net")
+        for k in keys:
+            # deconvs store no bias in our importer path? keep both blobs --
+            # caffe_to_state_dict drops what the style says to drop
+            payload += _layer_new(k, blobs[k])
+        (tmp_path / "FlowNet2-S").mkdir()
+        cm = tmp_path / "FlowNet2-S" / "FlowNet2-S_weights.caffemodel"
+        cm.write_bytes(payload)
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "scripts"))
+        import convert as convert_script
+        out = tmp_path / "ckpts"
+        rc = convert_script.main([str(cm), str(out)])
+        assert rc == 0
+        # restore and compare one leaf against the source blob (with the
+        # OIHW->HWIO transpose and BGR flip of conv1)
+        from flownet2_tpu.checkpoints.caffe_import import load_caffe_checkpoint
+        from flownet2_tpu.checkpoints.native import restore_checkpoint
+        want, meta = load_caffe_checkpoint(str(cm))
+        assert meta["arch"] == "FlowNet2S"
+        got, gmeta = restore_checkpoint(str(out), want,
+                                        tag="FlowNet2S-caffe")
+        import jax
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
