@@ -102,11 +102,16 @@ def restore_checkpoint(directory: str | os.PathLike,
     path = pathlib.Path(_ckpt_dir(directory, tag)).absolute()
     if not path.exists():
         # A crash inside _replace_dir's rename window leaves the previous
-        # checkpoint parked at <tag>.old; recover it.
+        # checkpoint parked at <tag>.old; recover it.  Only process 0
+        # mutates the (possibly shared) filesystem; everyone else waits at
+        # the barrier and re-checks.
         old = path.with_name(path.name + ".old")
-        if old.exists():
+        if jax.process_index() == 0 and old.exists():
             old.rename(path)
-        else:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("flownet2_ckpt_recover")
+        if not path.exists():
             raise FileNotFoundError(f"no checkpoint at {path}")
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path, item=jax.device_get(state_template))

@@ -23,8 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..nn.layers import cat
-from ..ops import (channel_norm, channel_norm_multi, fusion_glue,
-                   resample2d, stage_glue, upsample_bilinear,
+from ..ops import (fusion_glue, stage_glue, upsample_bilinear,
                    upsample_nearest)
 from .flownet_c import FlowNetC
 from .flownet_s import FlowNetS
@@ -122,7 +121,7 @@ class FlowNet2C(nn.Module):
                  train_bn: bool = False):
         x1, x2 = normalize_pair(inputs, self.rgb_max, self.dtype)
         flows = FlowNetC(self.batch_norm, self.dtype,
-                         name="flownetc")(x1, x2, True, train_bn)
+                         name="flownetc")(x1, x2, training, train_bn)
         if training:
             return flows
         return upsample_bilinear(flows[0] * self.div_flow, 4)
@@ -141,7 +140,7 @@ class FlowNet2S(nn.Module):
         x1, x2 = normalize_pair(inputs, self.rgb_max, self.dtype)
         x = cat([x1, x2])
         flows = FlowNetS(6, self.batch_norm, self.dtype,
-                         name="flownets")(x, True, train_bn)
+                         name="flownets")(x, training, train_bn)
         if training:
             return flows
         return upsample_bilinear(flows[0] * self.div_flow, 4)
@@ -160,7 +159,7 @@ class FlowNet2SD(nn.Module):
         x1, x2 = normalize_pair(inputs, self.rgb_max, self.dtype)
         x = cat([x1, x2])
         flows = FlowNetSD(self.batch_norm, self.dtype,
-                          name="flownetsd")(x, True, train_bn)
+                          name="flownetsd")(x, training, train_bn)
         if training:
             return flows
         # NOTE: wrapper multiplies (models.py:351) — unlike the SD branch
@@ -188,7 +187,7 @@ class FlowNet2CS(nn.Module):
         concat1 = stage_glue(x, x2, flownetc_flow, self.div_flow)
 
         flows = FlowNetS(12, self.batch_norm, self.dtype,
-                         name="flownets_1")(concat1, True, train_bn)
+                         name="flownets_1")(concat1, training, train_bn)
         if training:
             return flows
         return upsample_bilinear(flows[0] * self.div_flow, 4)
@@ -220,7 +219,7 @@ class FlowNet2CSS(nn.Module):
         concat2 = stage_glue(x, x2, flownets1_flow, self.div_flow)
 
         flows = FlowNetS(12, self.batch_norm, self.dtype,
-                         name="flownets_2")(concat2, True, train_bn)
+                         name="flownets_2")(concat2, training, train_bn)
         if training:
             return flows
         # final S2 upsample is nearest (models.py:455,503)

@@ -167,9 +167,7 @@ class _PackedConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", bias_uniform, (self.features,),
                               jnp.float32).astype(dtype)
-            if self.mode in ("a2s",):  # packed output: phase-tiled bias
-                bias = P.bias_phase(bias)
-            elif self.mode == "s2a":
+            if self.mode in ("a2s", "s2a"):  # packed output: phase-tiled
                 bias = P.bias_phase(bias)
             y = y + bias
         return y

@@ -25,9 +25,10 @@ def main(argv=None):
     ap.add_argument("caffemodel", help="path to the released .caffemodel")
     ap.add_argument("out_dir", help="directory to write the checkpoint into")
     ap.add_argument("--model", default=None,
-                    help="model name (inferred from the filename when "
-                         "omitted, like the reference's dispatch, "
-                         "convert.py:57-133)")
+                    help="model name; when omitted it is inferred from the "
+                         "release DIRECTORY layout (a parent directory "
+                         "named e.g. FlowNet2-CS/, as the download script "
+                         "creates) — pass --model for a bare file")
     ap.add_argument("--tag", default=None,
                     help="checkpoint tag (default: <model>-caffe)")
     args = ap.parse_args(argv)

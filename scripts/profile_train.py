@@ -51,9 +51,11 @@ def main():
             state, m = step(state, images, flow)
         float(m["loss"])
 
-    by_op, total = rollup(args.trace_dir)
-    print(f"per-iter device time: {total / args.iters:.2f} ms",
-          file=sys.stderr)
+    rolled = rollup(args.trace_dir)
+    if rolled is not None:
+        _, total = rolled
+        print(f"per-iter device time: {total / args.iters:.2f} ms",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
