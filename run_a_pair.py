@@ -12,7 +12,7 @@ import argparse
 import numpy as np
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("img0")
     p.add_argument("img1")
@@ -22,7 +22,7 @@ def main():
                         "init if omitted")
     p.add_argument("--out", default="out.flo")
     p.add_argument("--viz", default="", help="also save a color-wheel PNG")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp

@@ -152,3 +152,31 @@ def test_cli_fp16_training(sintel_dir, tmp_path):
     assert train and all(np.isfinite(m["loss"]) for m in train)
     # unscaled losses: a x128-scaled leak would put these around 1e3-1e4
     assert all(m["loss"] < 200 for m in train)
+
+
+def test_run_a_pair_end_to_end(tmp_path):
+    """The single-pair demo (reference run_a_pair.py equivalent): two PNGs
+    in -> .flo + color-wheel PNG out, including the center-crop-to-/64
+    path (66x130 -> 64x128)."""
+    import sys as _sys
+
+    import numpy as np
+    from PIL import Image
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import run_a_pair
+
+    rng = np.random.RandomState(0)
+    for name in ("a.png", "b.png"):
+        Image.fromarray(rng.randint(0, 255, (66, 130, 3), np.uint8)).save(
+            tmp_path / name)
+    out = tmp_path / "flow.flo"
+    viz = tmp_path / "flow.png"
+    run_a_pair.main([str(tmp_path / "a.png"), str(tmp_path / "b.png"),
+                     "--model", "FlowNet2S", "--out", str(out),
+                     "--viz", str(viz)])
+    from flownet2_tpu.data import read_flo
+    flow = read_flo(str(out))
+    assert flow.shape == (64, 128, 2)
+    assert np.isfinite(flow).all()
+    assert viz.exists()
