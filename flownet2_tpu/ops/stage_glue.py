@@ -74,12 +74,14 @@ def _fused_bwd(div_flow, res, g):
     hp, wp = out_cm.shape[2], out_cm.shape[3]
 
     # ONE channel-major relayout of the 12-channel cotangent; slices along
-    # the leading channel dim below are free.
-    g_cm = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))
-    g_cm_p = jnp.pad(g_cm, ((0, 0), (0, 0), (0, hp - height),
-                            (0, wp - width)))
+    # the leading channel dim below are free.  Everything slices the SAME
+    # padded array — mixing padded and unpadded consumers made XLA
+    # materialise the transpose twice (train HLO: 4 copies for 2 glues).
+    g_cm_p = jnp.pad(
+        jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)),
+        ((0, 0), (0, 0), (0, hp - height), (0, wp - width)))
     g_r = g_cm_p[:, 6:9]
-    g_f = g_cm[:, 9:11]
+    g_f = g_cm_p[:, 9:11, :height, :width]
     g_n = g_cm_p[:, 11:12]
 
     # diff / norm recomputed in cm form from the kernel's native planes
@@ -166,13 +168,13 @@ def _fusion_bwd(res, g):
     batch, height, width, _ = x1.shape
     hp, wp = sd_cm.shape[2], sd_cm.shape[3]
 
-    g_cm = jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2))  # (B, 11, H, W)
-    g_cm_p = jnp.pad(g_cm, ((0, 0), (0, 0), (0, hp - height),
-                            (0, wp - width)))
-    g_sdf = g_cm[:, 3:5]
-    g_s2f = g_cm[:, 5:7]
-    g_nsd_flow = g_cm[:, 7:8]      # d ||sd_flow||
-    g_ns2_flow = g_cm[:, 8:9]      # d ||s2_flow||
+    g_cm_p = jnp.pad(
+        jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)),  # (B, 11, H, W)
+        ((0, 0), (0, 0), (0, hp - height), (0, wp - width)))
+    g_sdf = g_cm_p[:, 3:5, :height, :width]
+    g_s2f = g_cm_p[:, 5:7, :height, :width]
+    g_nsd_flow = g_cm_p[:, 7:8, :height, :width]   # d ||sd_flow||
+    g_ns2_flow = g_cm_p[:, 8:9, :height, :width]   # d ||s2_flow||
     g_nerr_sd = g_cm_p[:, 9:10]    # d ||x1 - warp_sd||
     g_nerr_s2 = g_cm_p[:, 10:11]   # d ||x1 - warp_s2||
 
