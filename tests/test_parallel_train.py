@@ -306,6 +306,27 @@ def test_checkpoint_roundtrip(tmp_path, factory_single, state_single):
     assert (tmp_path / "model_best").exists()
 
 
+def test_checkpoint_old_recovery(tmp_path, factory_single, state_single):
+    """A crash inside _replace_dir's rename window leaves the checkpoint
+    parked at <tag>.old and nothing at the canonical path;
+    restore_checkpoint must recover it (ADVICE r3 / review fix)."""
+    from flownet2_tpu.checkpoints import restore_checkpoint, save_checkpoint
+
+    state = state_single
+    save_checkpoint(tmp_path, jax.device_get(state), epoch=7, best_epe=2.5)
+    # simulate the crash window: canonical dir renamed away to .old
+    path = tmp_path / "train-checkpoint"
+    path.rename(tmp_path / "train-checkpoint.old")
+    template = jax.tree.map(np.zeros_like, jax.device_get(state))
+    restored, meta = restore_checkpoint(tmp_path, template)
+    assert meta == {"epoch": 7, "best_EPE": 2.5}
+    for a, b in zip(jax.tree.leaves(jax.device_get(state)),
+                    jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # recovery is permanent: the canonical path exists again
+    assert path.exists() and not (tmp_path / "train-checkpoint.old").exists()
+
+
 def test_trainer_integration(tmp_path, factory_single, state_single):
     """Two tiny epochs end-to-end with validation + resume."""
     from flownet2_tpu.data.loader import Batch
