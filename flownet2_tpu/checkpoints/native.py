@@ -100,19 +100,24 @@ def restore_checkpoint(directory: str | os.PathLike,
     import orbax.checkpoint as ocp
 
     path = pathlib.Path(_ckpt_dir(directory, tag)).absolute()
-    if not path.exists():
-        # A crash inside _replace_dir's rename window leaves the previous
-        # checkpoint parked at <tag>.old; recover it.  Only process 0
-        # mutates the (possibly shared) filesystem; everyone else waits at
-        # the barrier and re-checks.
-        old = path.with_name(path.name + ".old")
-        if jax.process_index() == 0 and old.exists():
+    # A crash inside _replace_dir's rename window leaves the previous
+    # checkpoint parked at <tag>.old; recover it.  Every process acts on
+    # its OWN filesystem view (the checkpoint dir may be per-host rather
+    # than shared, and shared-NFS attribute caches can diverge), tolerating
+    # the rename race on a shared dir; the barrier is UNCONDITIONAL on the
+    # multi-process restore path so processes whose views differ can never
+    # split across the branch and deadlock (round-4 advisor finding).
+    old = path.with_name(path.name + ".old")
+    if not path.exists() and old.exists():
+        try:
             old.rename(path)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            multihost_utils.sync_global_devices("flownet2_ckpt_recover")
-        if not path.exists():
-            raise FileNotFoundError(f"no checkpoint at {path}")
+        except OSError:
+            pass  # another process won the rename on a shared filesystem
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("flownet2_ckpt_recover")
+    if not path.exists():
+        raise FileNotFoundError(f"no checkpoint at {path}")
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path, item=jax.device_get(state_template))
     meta = json.loads((path / "meta.json").read_text()) \

@@ -230,8 +230,11 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        assert self.packed_mode is None or not self.batch_norm, \
-            "packed conv paths do not support BatchNorm"
+        if self.packed_mode is not None and self.batch_norm:
+            # ValueError, not assert: user-reachable configuration error
+            # that must survive python -O (round-4 advisor finding) —
+            # packed reps would give per-packed-phase (wrong) BN statistics
+            raise ValueError("packed conv paths do not support BatchNorm")
         x = _conv2d(x, self.features, self.kernel_size, self.stride,
                     not self.batch_norm, self.dtype, "conv",
                     self.packed_mode, self.in_splits)
@@ -260,8 +263,8 @@ class IConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        assert self.packed_mode is None or not self.batch_norm, \
-            "packed conv paths do not support BatchNorm"
+        if self.packed_mode is not None and self.batch_norm:
+            raise ValueError("packed conv paths do not support BatchNorm")
         x = _conv2d(x, self.features, self.kernel_size, self.stride,
                     self.use_bias, self.dtype, "conv",
                     self.packed_mode, self.in_splits)

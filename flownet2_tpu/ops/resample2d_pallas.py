@@ -50,6 +50,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -64,8 +65,23 @@ _VMEM_RESIDENT_BUDGET = 12 * 1024 * 1024
 # The resident planes can push the kernels' scoped-vmem stack past the
 # 16 MB compiler default in large graphs (extra operand copies / buffering
 # around the custom call); raise the per-kernel cap — Mosaic accepts it
-# and the standalone wide-shape kernel measures full speed.
-_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024)
+# and the standalone wide-shape kernel measures full speed.  The raised
+# limit is gated on the actual resident-plane size (round-4 advisor
+# finding: it was only validated on v5e, and applying it to every call —
+# including small shapes that fit the 16 MB default — risks compile
+# failures on generations with less VMEM headroom).
+_VMEM_GATE_BYTES = 6 * 1024 * 1024
+
+
+def _vmem_params(resident_bytes: int) -> pltpu.CompilerParams:
+    if resident_bytes > _VMEM_GATE_BYTES:
+        return pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024)
+    return pltpu.CompilerParams()
+
+
+def _resident_bytes(planes: jax.Array) -> int:
+    """Per-batch-item bytes of the grid-constant resident plane operand."""
+    return int(np.prod(planes.shape[1:])) * planes.dtype.itemsize
 
 
 def _round_up(x: int, m: int) -> int:
@@ -92,15 +108,22 @@ def _pad_edge(img: jax.Array, flow: jax.Array, g: jax.Array | None = None):
     sliced off (forward) or contribute zero (backward).  This keeps the
     benchmark-critical non-x128 widths (e.g. the 448-wide training crop,
     whose fallback XLA gather dominated the train step) on the kernel path.
+
+    The flow may cover FEWER rows than the image (the spatially-sharded
+    composition in ops/resample2d_spatial.py: each shard's local output
+    rows against full-height resident planes); each is padded to its own
+    8-row multiple.
     """
     _, h, w, _ = img.shape
+    fh = flow.shape[1]
     ph, pw = _round_up(h, _TH) - h, _round_up(w, _TW) - w
-    if ph == 0 and pw == 0:
-        return img, flow, g
-    img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-    flow = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)))
-    if g is not None:
-        g = jnp.pad(g, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    pf = _round_up(fh, _TH) - fh
+    if ph or pw:
+        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    if pf or pw:
+        flow = jnp.pad(flow, ((0, 0), (0, pf), (0, pw), (0, 0)))
+        if g is not None:
+            g = jnp.pad(g, ((0, 0), (0, pf), (0, pw), (0, 0)))
     return img, flow, g
 
 
@@ -349,10 +372,16 @@ def _planes_pair_packed_bf16(x):
 
 @jax.jit
 def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
-    """Forward bilinear warp; img (B, H, W, C) f32/bf16, flow (B, H, W, 2)."""
-    true_h, true_w = img.shape[1:3]
+    """Forward bilinear warp; img (B, H, W, C) f32/bf16, flow (B, Ho, W, 2).
+
+    Ho (the output row count) may be smaller than H: the flow's dy is then
+    interpreted against source rows [0, H) while output rows index [0, Ho)
+    — the spatially-sharded composition's local view
+    (ops/resample2d_spatial.py).  Ho == H is the plain full-image warp."""
+    true_h, true_w = flow.shape[1], img.shape[2]
     img, flow, _ = _pad_edge(img, flow)
     batch, height, width, channels = img.shape
+    out_h = flow.shape[1]
     packed_lr = img.dtype == jnp.bfloat16
     planes = (_planes_pair_packed_bf16(img) if packed_lr
               else _planes_pair(img))
@@ -360,7 +389,7 @@ def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
     dx = flow[..., 0].astype(jnp.float32)
     dy = flow[..., 1].astype(jnp.float32)
 
-    grid = (batch, height // _TH, width // _TW)
+    grid = (batch, out_h // _TH, width // _TW)
     kernel = functools.partial(_fwd_kernel, height=height, width=width,
                                channels=channels, packed_lr=packed_lr)
     out = pl.pallas_call(
@@ -378,9 +407,9 @@ def resample2d_bilinear_pallas(img: jax.Array, flow: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec((1, channels, _TH, _TW),
                                lambda b, r, c: (b, 0, r, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, channels, height, width),
+        out_shape=jax.ShapeDtypeStruct((batch, channels, out_h, width),
                                        img.dtype),
-        compiler_params=_VMEM_PARAMS,
+        compiler_params=_vmem_params(_resident_bytes(planes)),
     )(dx, dy, planes)
     return jnp.transpose(out, (0, 2, 3, 1))[:, :true_h, :true_w]
 
@@ -391,10 +420,14 @@ def resample2d_bilinear_tangents_pallas(img: jax.Array, flow: jax.Array):
 
     Returns (out (B,H,W,C) in img dtype, d1, d2 both (B,H,W,C) f32) with
     d1/d2 = d out/d dx|dy — see _fwd_tangents_kernel.
+
+    As in resample2d_bilinear_pallas, the flow may cover fewer rows than
+    the image (spatially-sharded local view).
     """
-    true_h, true_w = img.shape[1:3]
+    true_h, true_w = flow.shape[1], img.shape[2]
     img, flow, _ = _pad_edge(img, flow)
     batch, height, width, channels = img.shape
+    out_h = flow.shape[1]
     packed_lr = img.dtype == jnp.bfloat16
     planes = (_planes_pair_packed_bf16(img) if packed_lr
               else _planes_pair(img))
@@ -402,7 +435,7 @@ def resample2d_bilinear_tangents_pallas(img: jax.Array, flow: jax.Array):
     dx = flow[..., 0].astype(jnp.float32)
     dy = flow[..., 1].astype(jnp.float32)
 
-    grid = (batch, height // _TH, width // _TW)
+    grid = (batch, out_h // _TH, width // _TW)
     kernel = functools.partial(_fwd_tangents_kernel, height=height,
                                width=width, channels=channels,
                                packed_lr=packed_lr)
@@ -423,13 +456,13 @@ def resample2d_bilinear_tangents_pallas(img: jax.Array, flow: jax.Array):
         ],
         out_specs=(pspec(), pspec(), pspec()),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, channels, height, width), img.dtype),
-            jax.ShapeDtypeStruct((batch, channels, height, width),
+            jax.ShapeDtypeStruct((batch, channels, out_h, width), img.dtype),
+            jax.ShapeDtypeStruct((batch, channels, out_h, width),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((batch, channels, height, width),
+            jax.ShapeDtypeStruct((batch, channels, out_h, width),
                                  jnp.float32),
         ),
-        compiler_params=_VMEM_PARAMS,
+        compiler_params=_vmem_params(_resident_bytes(planes)),
     )(dx, dy, planes)
     unp = lambda x: jnp.transpose(x, (0, 2, 3, 1))[:, :true_h, :true_w]
     return unp(out), unp(d1), unp(d2)
@@ -486,7 +519,7 @@ def resample2d_bilinear_tangents_cm(img: jax.Array, flow: jax.Array):
             jax.ShapeDtypeStruct((batch, channels, height, width),
                                  jnp.float32),
         ),
-        compiler_params=_VMEM_PARAMS,
+        compiler_params=_vmem_params(_resident_bytes(planes)),
     )(dx, dy, planes)
     out_nhwc = jnp.transpose(out, (0, 2, 3, 1))[:, :true_h, :true_w]
     return out_nhwc, out, d1, d2
@@ -497,12 +530,14 @@ def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
                                 flow: jax.Array) -> jax.Array:
     """Flow gradient of the bilinear warp.
 
-    g: (B, H, W, C) cotangent of the warp output; img, flow as forward.
-    Returns (B, H, W, 2) f32.
+    g: (B, Ho, W, C) cotangent of the warp output; img, flow as forward
+    (the flow/cotangent may cover fewer rows than the image — the
+    spatially-sharded local view).  Returns (B, Ho, W, 2) f32.
     """
-    true_h, true_w = img.shape[1:3]
+    true_h, true_w = flow.shape[1], img.shape[2]
     img, flow, g = _pad_edge(img, flow, g)
     batch, height, width, channels = img.shape
+    out_h = flow.shape[1]
     packed_lr = img.dtype == jnp.bfloat16
     planes = (_planes_pair_packed_bf16(img) if packed_lr
               else _planes_pair(img))
@@ -511,7 +546,7 @@ def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
     dx = flow[..., 0].astype(jnp.float32)
     dy = flow[..., 1].astype(jnp.float32)
 
-    grid = (batch, height // _TH, width // _TW)
+    grid = (batch, out_h // _TH, width // _TW)
     kernel = functools.partial(_grad_flow_kernel, height=height, width=width,
                                channels=channels, packed_lr=packed_lr)
     ddx, ddy = pl.pallas_call(
@@ -536,9 +571,118 @@ def resample2d_grad_flow_pallas(g: jax.Array, img: jax.Array,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, height, width), jnp.float32),
-            jax.ShapeDtypeStruct((batch, height, width), jnp.float32),
+            jax.ShapeDtypeStruct((batch, out_h, width), jnp.float32),
+            jax.ShapeDtypeStruct((batch, out_h, width), jnp.float32),
         ),
-        compiler_params=_VMEM_PARAMS,
+        compiler_params=_vmem_params(_resident_bytes(planes)),
     )(dx, dy, planes, gplanes)
     return jnp.stack([ddx, ddy], axis=-1)[:, :true_h, :true_w]
+
+
+# ---------------------------------------------------------------------------
+# Multi-flow variants: F flows warp the SAME image (the FlowNetFusion input
+# block warps x2 by sd_flow AND s2_flow, models.py:155-179).  The flow pair
+# is folded into the grid's leading dim as (B*F, rows, cols) with the
+# resident plane operand indexed i // F: Mosaic re-fetches a block only
+# when its index-map result changes, so the (large) planes are DMA'd and
+# laid out ONCE per batch item instead of once per warp — halving the
+# dominant DMA/layout traffic of the fusion glue (VERDICT r4 next #6).
+# ---------------------------------------------------------------------------
+
+def _multi_prep(img, flows):
+    """Shared padding/layout for the multi-flow wrappers.
+
+    img (B, H, W, C); flows (B, F, H, W, 2).  Returns
+    (planes, dx, dy, dims) with dx/dy folded to (B*F, Hp, Wp).
+    """
+    batch, nflows = flows.shape[0], flows.shape[1]
+    true_h, true_w = flows.shape[2], img.shape[2]
+    flows_f = flows.reshape((batch * nflows,) + flows.shape[2:])
+    imgp, flowsp, _ = _pad_edge(img, flows_f)
+    height, width, channels = imgp.shape[1:4]
+    out_h = flowsp.shape[1]
+    packed_lr = imgp.dtype == jnp.bfloat16
+    planes = (_planes_pair_packed_bf16(imgp) if packed_lr
+              else _planes_pair(imgp))
+    nplanes = channels if packed_lr else 2 * channels
+    dx = flowsp[..., 0].astype(jnp.float32)
+    dy = flowsp[..., 1].astype(jnp.float32)
+    dims = dict(batch=batch, nflows=nflows, height=height, width=width,
+                channels=channels, out_h=out_h, nplanes=nplanes,
+                packed_lr=packed_lr, true_h=true_h, true_w=true_w)
+    return planes, dx, dy, dims
+
+
+def _multi_specs(d):
+    """(grid, flow_spec, planes_spec, out_spec) for the folded grid."""
+    nf = d["nflows"]
+    grid = (d["batch"] * nf, d["out_h"] // _TH, d["width"] // _TW)
+    flow_spec = pl.BlockSpec((1, _TH, _TW), lambda i, r, c: (i, r, c),
+                             memory_space=pltpu.VMEM)
+    planes_spec = pl.BlockSpec(
+        (1, d["nplanes"], d["height"], d["width"]),
+        lambda i, r, c: (i // nf, 0, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, d["channels"], _TH, _TW),
+                            lambda i, r, c: (i, 0, r, c),
+                            memory_space=pltpu.VMEM)
+    return grid, flow_spec, planes_spec, out_spec
+
+
+@jax.jit
+def resample2d_bilinear_pallas_multi(img: jax.Array,
+                                     flows: jax.Array) -> jax.Array:
+    """F forward warps of one image: img (B, H, W, C), flows (B, F, H, W, 2)
+    -> (B, F, H, W, C).  Planes resident once per batch item."""
+    planes, dx, dy, d = _multi_prep(img, flows)
+    grid, fspec, pspec, ospec = _multi_specs(d)
+    kernel = functools.partial(_fwd_kernel, height=d["height"],
+                               width=d["width"], channels=d["channels"],
+                               packed_lr=d["packed_lr"])
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[fspec, fspec, pspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct(
+            (d["batch"] * d["nflows"], d["channels"], d["out_h"],
+             d["width"]), img.dtype),
+        compiler_params=_vmem_params(_resident_bytes(planes)),
+    )(dx, dy, planes)
+    out = jnp.transpose(out, (0, 2, 3, 1))[:, :d["true_h"], :d["true_w"]]
+    return out.reshape((d["batch"], d["nflows"]) + out.shape[1:])
+
+
+@jax.jit
+def resample2d_bilinear_tangents_cm_multi(img: jax.Array, flows: jax.Array):
+    """F tangent-saving warps of one image, channel-major outputs for the
+    fused fusion glue (ops/stage_glue.py):
+
+      img (B, H, W, C), flows (B, F, H, W, 2) ->
+      (out_nhwc (B, F, H, W, C),
+       out_cm (B, F, C, Hp, Wp) in img dtype,
+       d1_cm, d2_cm (B, F, C, Hp, Wp) f32)
+    """
+    planes, dx, dy, d = _multi_prep(img, flows)
+    grid, fspec, pspec, ospec = _multi_specs(d)
+    kernel = functools.partial(_fwd_tangents_kernel, height=d["height"],
+                               width=d["width"], channels=d["channels"],
+                               packed_lr=d["packed_lr"])
+    bf = d["batch"] * d["nflows"]
+    shape = (bf, d["channels"], d["out_h"], d["width"])
+    out, d1, d2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[fspec, fspec, pspec],
+        out_specs=(ospec, ospec, ospec),
+        out_shape=(
+            jax.ShapeDtypeStruct(shape, img.dtype),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+        ),
+        compiler_params=_vmem_params(_resident_bytes(planes)),
+    )(dx, dy, planes)
+    unfold = lambda x: x.reshape((d["batch"], d["nflows"]) + x.shape[1:])
+    out_nhwc = jnp.transpose(out, (0, 2, 3, 1))[:, :d["true_h"], :d["true_w"]]
+    out_nhwc = out_nhwc.reshape(
+        (d["batch"], d["nflows"]) + out_nhwc.shape[1:])
+    return out_nhwc, unfold(out), unfold(d1), unfold(d2)

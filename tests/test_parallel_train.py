@@ -388,3 +388,38 @@ def test_bench_scaling_table_runs_multi_device():
         assert 0 < r["train_efficiency"] <= 8.0
     assert rows[0]["efficiency"] == 1.0
     assert rows[0]["train_efficiency"] == 1.0
+
+
+def test_train_n_batches_and_start_epoch(tmp_path, factory_single,
+                                         state_single):
+    """--train_n_batches caps steps per epoch and --start_epoch overrides
+    the resumed epoch (reference main.py:25,28; VERDICT r4 next #9)."""
+    from flownet2_tpu.data.loader import Batch
+    from flownet2_tpu.train import Trainer, TrainerConfig
+
+    class L:
+        def __len__(self):
+            return 4
+
+        def __iter__(self):
+            for i in range(4):
+                images, flow = _batch(i, b=2)
+                yield Batch(images, flow)
+
+    cfg = TrainerConfig(total_epochs=2, validation_frequency=10**9,
+                        train_n_batches=1, save_dir=str(tmp_path))
+    trainer = Trainer(factory_single, cfg)
+    state = trainer.fit(jax.tree.map(jnp.copy, state_single), L())
+    # 2 epochs x 1 (capped from 4) steps
+    assert int(np.asarray(state.step)) == 2
+
+    # start_epoch overrides both the fresh 0 and the checkpoint's epoch
+    cfg2 = TrainerConfig(total_epochs=2, validation_frequency=10**9,
+                         start_epoch=2, save_dir=str(tmp_path))
+    t2 = Trainer(factory_single, cfg2)
+    assert t2.start_epoch == 2
+    st = t2.fit(jax.tree.map(jnp.copy, state_single), L())
+    assert int(np.asarray(st.step)) == 0  # range(2, 2) -> no training
+    restored = t2.resume(jax.device_get(state))  # ckpt says epoch 1|2
+    assert t2.start_epoch == 2  # flag wins over checkpoint epoch
+    del restored
