@@ -171,11 +171,19 @@ def _dispatch(f1, f2, pad_size, kernel_size, max_displacement, stride1,
                                 max_displacement, stride1, stride2)
     if impl == "pallas":
         from . import correlation_pallas
-        from .sharding_hints import kernel_wrapper
-        wrap = kernel_wrapper(f1.shape[0]) \
-            if jax.default_backend() == "tpu" and correlation_pallas.supported(
-                f1, pad_size, kernel_size, max_displacement, stride1, stride2) \
-            else None
+        from .sharding_hints import kernel_wrapper_desc, record_dispatch
+        if jax.default_backend() == "tpu" and correlation_pallas.supported(
+                f1, pad_size, kernel_size, max_displacement, stride1, stride2):
+            wrap, desc = kernel_wrapper_desc(f1.shape[0])
+        elif correlation_pallas.supported(f1, pad_size, kernel_size,
+                                          max_displacement, stride1, stride2):
+            _, tdesc = kernel_wrapper_desc(f1.shape[0])
+            wrap, desc = None, (
+                f"xla-fallback (backend={jax.default_backend()}; "
+                f"on TPU: {tdesc})")
+        else:
+            wrap, desc = None, "xla-fallback (unsupported shape)"
+        record_dispatch("correlation", desc)
         if wrap is not None:
             return wrap(functools.partial(
                 correlation_pallas.correlation_pallas,

@@ -29,6 +29,10 @@ class TrainerConfig:
     total_epochs: int = 10000
     validation_frequency: int = 5
     validation_n_batches: int = -1     # reference --validation_n_batches
+    train_n_batches: int = -1          # reference --train_n_batches
+                                       # (main.py:28): cap steps per epoch
+    start_epoch: int = -1              # reference --start_epoch (main.py:25);
+                                       # >=0 overrides the resumed epoch
     checkpoint_frequency: int = 1      # epochs between train-checkpoints
     log_frequency: int = 1             # steps between metric records
     save_dir: str = "./work"
@@ -54,7 +58,7 @@ class Trainer:
         self._train_step = factory.train_step()
         self._eval_step = factory.eval_step()
         self.best_epe = float("inf")
-        self.start_epoch = 0
+        self.start_epoch = max(config.start_epoch, 0)
         self.global_step = 0
         self._profiling = False
         self._profiled = config.profile_steps <= 0
@@ -91,7 +95,12 @@ class Trainer:
     # -- checkpoint plumbing -------------------------------------------------
     def resume(self, state):
         state, meta = restore_checkpoint(self.config.save_dir, state)
-        self.start_epoch = int(meta.get("epoch", 0))
+        # --start_epoch (when given) wins over the checkpoint's epoch, as in
+        # the reference (main.py:211-212 only reads checkpoint['epoch'] when
+        # the flag is at its default)
+        self.start_epoch = (self.config.start_epoch
+                            if self.config.start_epoch >= 0
+                            else int(meta.get("epoch", 0)))
         self.best_epe = float(meta.get("best_EPE", float("inf")))
         self.global_step = int(np.asarray(state.step))
         return state
@@ -102,8 +111,13 @@ class Trainer:
         timer = IteratorTimer(loader)
         n = len(loader) if hasattr(loader, "__len__") else None
         last = {}
+        cap = self.config.train_n_batches
+        if cap >= 0 and n is not None:
+            n = min(n, cap)
         for i, batch in enumerate(progress(timer, total=n,
                                            desc=f"train e{epoch}")):
+            if cap >= 0 and i >= cap:
+                break
             self._maybe_profile(i)
             state, metrics = self._train_step(state, batch.images, batch.flow)
             self.global_step += 1
