@@ -40,12 +40,18 @@ def _corner_gather(img, yi, xi):
     return jax.vmap(lambda im, y, x: im[y, x])(img, yi, xi)
 
 
-def _bilinear_parts(flow, height, width):
-    """Shared coordinate math for forward and backward."""
+def _bilinear_parts(flow, height, width, row_offset=0.0):
+    """Shared coordinate math for forward and backward.
+
+    ``row_offset`` (an exact-integer-valued f32) shifts the output rows'
+    coordinates: the spatially-sharded composition evaluates rows
+    [off, off + local_h) of the global image.  Adding it to the
+    integer-valued iota (exact in f32) BEFORE the flow keeps the result
+    bit-identical to the unsharded op's ``ys_global + dy``."""
     dx = flow[..., 0]
     dy = flow[..., 1]
     xs = jax.lax.broadcasted_iota(jnp.float32, dx.shape, 2)
-    ys = jax.lax.broadcasted_iota(jnp.float32, dy.shape, 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, dy.shape, 1) + row_offset
     xf = xs + dx.astype(jnp.float32)
     yf = ys + dy.astype(jnp.float32)
     x0 = jnp.floor(xf)
@@ -73,20 +79,29 @@ def _pallas_wrapper(img, kernel_size, bilinear):
     backend/mesh (identity or a data-axis shard_map), or None to use the
     XLA fallback (ops/sharding_hints.py)."""
     from . import resample2d_pallas
-    from .sharding_hints import kernel_wrapper
+    from .sharding_hints import kernel_wrapper_desc, record_dispatch
 
     if not resample2d_pallas.supported(img, kernel_size, bilinear):
+        record_dispatch("resample2d", "xla-fallback (shape/dtype unsupported)")
         return None
     if _USE_PALLAS is False:
+        record_dispatch("resample2d", "xla-fallback (kernels force-disabled)")
         return None
     if _USE_PALLAS is None and jax.default_backend() != "tpu":
+        _, desc = kernel_wrapper_desc(img.shape[0])
+        record_dispatch(
+            "resample2d", f"xla-fallback (backend={jax.default_backend()}; "
+            f"on TPU: {desc})")
         return None
-    return kernel_wrapper(img.shape[0])
+    wrap, desc = kernel_wrapper_desc(img.shape[0])
+    record_dispatch("resample2d", desc)
+    return wrap
 
 
-def _resample2d_bilinear_impl(img, flow, kernel_size):
+def _resample2d_bilinear_impl(img, flow, kernel_size, row_offset=0.0):
     _, height, width, _ = img.shape
-    alpha, beta, xL, xR, yT, yB = _bilinear_parts(flow, height, width)
+    alpha, beta, xL, xR, yT, yB = _bilinear_parts(flow, height, width,
+                                                  row_offset)
     a = alpha[..., None].astype(img.dtype)
     b = beta[..., None].astype(img.dtype)
 
@@ -118,7 +133,6 @@ def _resample2d_nearest_impl(img, flow, kernel_size):
     return _corner_gather(img, yN, xN)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def resample2d(img: jax.Array, flow: jax.Array, kernel_size: int = 1,
                bilinear: bool = True) -> jax.Array:
     """Backward-warp ``img`` by ``flow``.
@@ -131,6 +145,23 @@ def resample2d(img: jax.Array, flow: jax.Array, kernel_size: int = 1,
       kernel_size: tap window per corner (reference default 1).
       bilinear: bilinear vs nearest sampling.
     """
+    if bilinear and kernel_size == 1:
+        # under a spatially-sharded mesh the op composes as a (data,
+        # spatial) shard_map with a halo-gather of the source image —
+        # the CP-analog path (ops/resample2d_spatial.py)
+        from .resample2d_spatial import spatial_wrapper
+
+        sw = spatial_wrapper(img, flow, kernel_size, bilinear)
+        if sw is not None:
+            return sw(img, flow)
+    return _resample2d_core(img, flow, kernel_size, bilinear)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _resample2d_core(img: jax.Array, flow: jax.Array, kernel_size: int = 1,
+                     bilinear: bool = True) -> jax.Array:
+    """Single-extent warp (no spatial-mesh composition): Pallas kernel when
+    available, XLA gather math otherwise; custom VJP below."""
     if bilinear:
         wrap = _pallas_wrapper(img, kernel_size, bilinear)
         if wrap is not None:
@@ -160,15 +191,19 @@ def _resample2d_fwd(img, flow, kernel_size, bilinear):
 
             out, d1, d2 = wrap(resample2d_bilinear_tangents_pallas)(img, flow)
             return out, (img, flow, (d1, d2))
-    out = resample2d(img, flow, kernel_size, bilinear)
+    out = _resample2d_core(img, flow, kernel_size, bilinear)
     return out, (img, flow, None)
 
 
-def _scatter_d_img(img, flow, g, kernel_size, height, width):
+def _scatter_d_img(img, flow, g, kernel_size, height, width,
+                   row_offset=0.0):
     """Image gradient: transpose scatter-add of the bilinear taps.  Dead
     code in every model graph (warp inputs are leaves; XLA DCEs it) —
-    implemented for completeness vs resample2d_kernel.cu:75-125."""
-    alpha, beta, xL, xR, yT, yB = _bilinear_parts(flow, height, width)
+    implemented for completeness vs resample2d_kernel.cu:75-125 and
+    regression-pinned by tests/test_ops_resample2d.py (the live path for
+    any future graph that differentiates through the warped image)."""
+    alpha, beta, xL, xR, yT, yB = _bilinear_parts(flow, height, width,
+                                                  row_offset)
     a = alpha[..., None].astype(img.dtype)
     b = beta[..., None].astype(img.dtype)
     d_img = jnp.zeros_like(img)
@@ -277,7 +312,7 @@ def _resample2d_bwd(kernel_size, bilinear, res, g):
     return d_img, d_flow
 
 
-resample2d.defvjp(_resample2d_fwd, _resample2d_bwd)
+_resample2d_core.defvjp(_resample2d_fwd, _resample2d_bwd)
 
 
 class Resample2d:
