@@ -75,7 +75,7 @@ def time_train_step(step, state, images, flow, iters=15, warmup=3):
     return max((total - overhead) / (iters - 1), 1e-9)
 
 
-def bench_train(name, batch, h, w, results, label=None):
+def bench_train(name, batch, h, w, results, label=None, dtype=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -87,12 +87,14 @@ def bench_train(name, batch, h, w, results, label=None):
     rng = np.random.RandomState(1)
     images = jnp.asarray(rng.rand(batch, 2, h, w, 3).astype(np.float32) * 255.0)
     flow = jnp.asarray(rng.rand(batch, h, w, 2).astype(np.float32) * 5.0)
-    factory = StepFactory(model=get_model(name), loss_fn=MultiScale(),
-                          tx=optax.adam(1e-4))
+    kwargs = {"dtype": dtype} if dtype is not None else {}
+    factory = StepFactory(model=get_model(name, **kwargs),
+                          loss_fn=MultiScale(), tx=optax.adam(1e-4))
     state = factory.init_state(jax.random.PRNGKey(0), images)
     dt = time_train_step(factory.train_step(), state, images, flow)
-    results[label or f"{name}-train"] = batch / dt
-    print(f"{name} train: {dt*1e3:.2f} ms/step b{batch} @ {h}x{w} "
+    tag = label or f"{name}-train"
+    results[tag] = batch / dt
+    print(f"{tag}: {dt*1e3:.2f} ms/step b{batch} @ {h}x{w} "
           f"-> {batch/dt:.1f} frames/s", file=sys.stderr)
 
 
@@ -207,12 +209,18 @@ def main():
     # Train-step sub-metrics (width 448: divisible by 64, fits VMEM paths).
     # These run BEFORE the wide-resolution entry: the train step is the
     # round-over-round perf metric and must not be budget-starved.
-    for name, need in (("FlowNet2C", 120), ("FlowNet2", 400)):
+    for name, need, kw in (("FlowNet2C", 120, {}), ("FlowNet2", 400, {}),
+                           # bf16 train tracked so the measured f32-beats-
+                           # bf16 regression (docs/PERF_r04.md precision
+                           # table) stays visible round over round
+                           ("FlowNet2", 300,
+                            {"dtype": jnp.bfloat16,
+                             "label": "FlowNet2-train-bf16"})):
         if budget_left() < need:
             print(f"{name} train: skipped (budget)", file=sys.stderr)
             continue
         try:
-            bench_train(name, batch, 384, 448, results)
+            bench_train(name, batch, 384, 448, results, **kw)
         except Exception as e:
             print(f"{name} train: FAILED {e}", file=sys.stderr)
 

@@ -143,16 +143,36 @@ def _plain_fusion_glue(x1, x2, sd_flow, s2_flow):
 
 @jax.custom_vjp
 def _fused_fusion_glue(x1, x2, sd_flow, s2_flow):
-    return _plain_fusion_glue(x1, x2, sd_flow, s2_flow)
+    # Inference forward: ONE two-flow kernel call — the resident x2 planes
+    # are DMA'd/layout-converted once for both warps (they were the
+    # largest inference trace item; VERDICT r4 next #6).
+    from .resample2d_pallas import resample2d_bilinear_pallas_multi
+
+    wrap = _pallas_wrapper(x2, 1, True)
+    if wrap is None:
+        return _plain_fusion_glue(x1, x2, sd_flow, s2_flow)
+    from .channelnorm import channel_norm_multi
+
+    flows = jnp.stack([sd_flow, s2_flow], axis=1)
+    warps = wrap(resample2d_bilinear_pallas_multi)(x2, flows)
+    warp_sd, warp_s2 = warps[:, 0], warps[:, 1]
+    norms = channel_norm_multi(sd_flow, s2_flow, x1 - warp_sd, x1 - warp_s2)
+    return jnp.concatenate([x1, sd_flow, s2_flow, norms], axis=-1)
 
 
 def _fusion_fwd(x1, x2, sd_flow, s2_flow):
-    from .resample2d_pallas import resample2d_bilinear_tangents_cm
+    # Training forward: the two-flow tangent-saving kernel — planes
+    # resident once, both warps + all four cm tangent planes in one sweep.
+    from .resample2d_pallas import resample2d_bilinear_tangents_cm_multi
 
     wrap = _pallas_wrapper(x2, 1, True)
-    fn = wrap(resample2d_bilinear_tangents_cm)
-    warp_sd, sd_cm, d1sd, d2sd = fn(x2, sd_flow)
-    warp_s2, s2_cm, d1s2, d2s2 = fn(x2, s2_flow)
+    flows = jnp.stack([sd_flow, s2_flow], axis=1)
+    out_nhwc, out_cm, d1, d2 = wrap(
+        resample2d_bilinear_tangents_cm_multi)(x2, flows)
+    warp_sd, warp_s2 = out_nhwc[:, 0], out_nhwc[:, 1]
+    sd_cm, s2_cm = out_cm[:, 0], out_cm[:, 1]
+    d1sd, d2sd = d1[:, 0], d2[:, 0]
+    d1s2, d2s2 = d1[:, 1], d2[:, 1]
     err_sd = x1 - warp_sd
     err_s2 = x1 - warp_s2
     norms = jnp.concatenate(
