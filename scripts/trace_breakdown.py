@@ -120,6 +120,8 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--model", default="FlowNet2")
+    ap.add_argument("--infer", action="store_true",
+                    help="trace inference apply only (no loss/grad/Adam)")
     args = ap.parse_args()
 
     import jax
@@ -148,6 +150,24 @@ def main():
         val, _ = loss_fn(outs if isinstance(outs, (tuple, list)) else [outs],
                          flow)
         return val
+
+    if args.infer:
+        # inference-mode apply only (eval outputs, no loss/grad)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        apply = jax.jit(lambda v, i: model.apply(v, i))
+        ev, ms = trace_fn(apply, (variables, images), "inference",
+                          args.iters)
+        print(f"\n== buckets: inference (device ms/iter, b{args.batch} "
+              f"@{args.h}x{args.w} {args.dtype}) ==")
+        for k, v in sorted(_bucket(ev, args.iters).items(),
+                           key=lambda kv: -kv[1]):
+            print(f"  {k:28s} {v:8.2f}")
+        print(f"\n== top {args.top} single events (ms/iter) ==")
+        for name, ms_ in _top_events(ev, args.iters, args.top):
+            print(f"  {ms_:8.2f}  {name[:100]}")
+        return
 
     fwd = jax.jit(lambda p, i, f: loss(p, i, f))
     grad = jax.jit(lambda p, i, f: jax.grad(loss)(p, i, f))
