@@ -161,18 +161,20 @@ def _fused_fusion_glue(x1, x2, sd_flow, s2_flow):
 
 
 def _fusion_fwd(x1, x2, sd_flow, s2_flow):
-    # Training forward: the two-flow tangent-saving kernel — planes
-    # resident once, both warps + all four cm tangent planes in one sweep.
-    from .resample2d_pallas import resample2d_bilinear_tangents_cm_multi
+    # Training forward: TWO single-flow tangent-saving calls.  The two-flow
+    # folded-grid kernel (resample2d_bilinear_tangents_cm_multi) was
+    # measured and LOSES here: 132.6 vs 108.4 ms/step (b8 @ 384x448 f32,
+    # v5e) — the promised once-per-batch-item plane residency does not
+    # show up as a win even at inference (multi 38.54 vs single 38.44
+    # ms/b8), and with the three tangent outputs interleaved across the
+    # (B*F) grid the train step regresses ~24 ms (docs/PERF_r05.md).  The
+    # inference primal keeps the multi kernel (neutral, fewer launches).
+    from .resample2d_pallas import resample2d_bilinear_tangents_cm
 
     wrap = _pallas_wrapper(x2, 1, True)
-    flows = jnp.stack([sd_flow, s2_flow], axis=1)
-    out_nhwc, out_cm, d1, d2 = wrap(
-        resample2d_bilinear_tangents_cm_multi)(x2, flows)
-    warp_sd, warp_s2 = out_nhwc[:, 0], out_nhwc[:, 1]
-    sd_cm, s2_cm = out_cm[:, 0], out_cm[:, 1]
-    d1sd, d2sd = d1[:, 0], d2[:, 0]
-    d1s2, d2s2 = d1[:, 1], d2[:, 1]
+    fn = wrap(resample2d_bilinear_tangents_cm)
+    warp_sd, sd_cm, d1sd, d2sd = fn(x2, sd_flow)
+    warp_s2, s2_cm, d1s2, d2s2 = fn(x2, s2_flow)
     err_sd = x1 - warp_sd
     err_s2 = x1 - warp_s2
     norms = jnp.concatenate(
