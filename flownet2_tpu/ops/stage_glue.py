@@ -77,9 +77,9 @@ def _fused_bwd(div_flow, res, g):
     # the leading channel dim below are free.  Everything slices the SAME
     # padded array — mixing padded and unpadded consumers made XLA
     # materialise the transpose twice (train HLO: 4 copies for 2 glues).
-    g_cm_p = jnp.pad(
+    g_cm_p = jax.lax.optimization_barrier(jnp.pad(
         jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)),
-        ((0, 0), (0, 0), (0, hp - height), (0, wp - width)))
+        ((0, 0), (0, 0), (0, hp - height), (0, wp - width))))
     g_r = g_cm_p[:, 6:9]
     g_f = g_cm_p[:, 9:11, :height, :width]
     g_n = g_cm_p[:, 11:12]
@@ -190,9 +190,9 @@ def _fusion_bwd(res, g):
     batch, height, width, _ = x1.shape
     hp, wp = sd_cm.shape[2], sd_cm.shape[3]
 
-    g_cm_p = jnp.pad(
+    g_cm_p = jax.lax.optimization_barrier(jnp.pad(
         jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)),  # (B, 11, H, W)
-        ((0, 0), (0, 0), (0, hp - height), (0, wp - width)))
+        ((0, 0), (0, 0), (0, hp - height), (0, wp - width))))
     g_sdf = g_cm_p[:, 3:5, :height, :width]
     g_s2f = g_cm_p[:, 5:7, :height, :width]
     g_nsd_flow = g_cm_p[:, 7:8, :height, :width]   # d ||sd_flow||

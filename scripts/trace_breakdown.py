@@ -1,19 +1,23 @@
-"""Bucketed device-trace breakdown of the FlowNet2 train step.
+"""Bucketed device-trace breakdown of FlowNet2 train / inference steps.
 
 VERDICT r4 weak #4: the train-step's largest cost bucket (~67 of 110 ms)
-was a single unitemized "everything else".  This tool splits it:
+was a single unitemized "everything else".  This tool splits it properly:
 
-1. traces three jitted variants with jax.profiler — forward loss only,
-   loss+grad, full step (grad+Adam) — so fwd / bwd / optimizer wall-time
-   fall out as deltas;
-2. parses the Perfetto trace json for the device track and buckets every
-   device event by HLO-name patterns (convolution fwd/dgrad/kgrad are
-   separately named in XLA, Pallas kernels are custom-calls, layout
-   changes are copy/transpose/bitcast fusions);
-3. prints the buckets and the top-N single events of the full step.
+1. compiles the jitted step once, dumps the optimized HLO, and parses each
+   instruction's ``metadata op_name`` — the JAX op path, which carries both
+   the autodiff phase (``transpose(jvp(...))`` = backward) and the Flax
+   module path (``flownets_1/conv3``) — plus its output shape;
+2. runs the step under ``jax.profiler`` (threading the donated train state
+   through the iterations) and keeps exactly the device events that carry
+   an ``hlo_category`` arg — the real HLO ops.  Summing every X event
+   instead double-counts ~3x: the device track also holds one umbrella
+   span per jit call and bare step-number markers;
+3. joins events to HLO metadata by instruction name and prints:
+   phase split (forward / backward / optimizer), hlo_category x phase,
+   per-subnet totals, and the top-N single events with attribution.
 
 Usage: python scripts/trace_breakdown.py [--batch 8] [--h 384] [--w 448]
-       [--dtype f32|bf16] [--top 25] [--model FlowNet2]
+       [--dtype f32|bf16] [--top 25] [--model FlowNet2] [--infer]
 """
 
 import argparse
@@ -31,29 +35,27 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-BUCKETS = [
-    # (bucket, regex on event name) — first match wins
-    ("pallas warp", re.compile(r"resample2d|warp", re.I)),
-    ("pallas correlation", re.compile(r"correlation|corr_", re.I)),
-    ("pallas other/custom", re.compile(r"custom-call|tpu_custom_call|mosaic",
-                                       re.I)),
-    ("conv kgrad", re.compile(r"convolution.*(filter|kgrad)|"
-                              r"conv.*backward.*filter", re.I)),
-    ("conv dgrad", re.compile(r"convolution.*(input|dgrad)|"
-                              r"conv.*backward.*input", re.I)),
-    ("conv fwd", re.compile(r"convolution|conv(?!ert)", re.I)),
-    ("layout copy/transpose", re.compile(r"^copy|transpose|bitcast|"
-                                         r"copy-start|copy-done", re.I)),
-    ("reduce/scatter/gather", re.compile(r"reduce|scatter|gather|sort",
-                                         re.I)),
-    ("dynamic slice/update", re.compile(r"dynamic-?(update-?)?slice", re.I)),
-    ("loop fusion (elementwise)", re.compile(r"loop_|^fusion", re.I)),
-    ("other", re.compile(r".")),
-]
+_HLO_INSTR = re.compile(
+    r"^\s*(?:ROOT\s+)?%?([\w.-]+)\s+=\s+(\S+?)\s", re.M)
+_HLO_META = re.compile(r'metadata=\{[^}]*?op_name="([^"]*)"')
+
+
+def parse_hlo_metadata(hlo_text):
+    """instruction name -> (op_name path, result shape string)."""
+    out = {}
+    for line in hlo_text.splitlines():
+        m = _HLO_INSTR.match(line)
+        if not m:
+            continue
+        name, shape = m.group(1), m.group(2)
+        mm = _HLO_META.search(line)
+        out[name] = (mm.group(1) if mm else "", shape)
+    return out
 
 
 def _device_events(tracedir):
-    """[(name, dur_us)] for the TPU device track of the newest trace."""
+    """[(name, dur_us)] summed per instruction for the real HLO ops of the
+    newest trace's TPU device track (events carrying ``hlo_category``)."""
     paths = sorted(glob.glob(os.path.join(
         tracedir, "plugins", "profile", "*", "*.trace.json.gz")))
     if not paths:
@@ -66,49 +68,116 @@ def _device_events(tracedir):
                    and "TPU" in str(e.get("args", {}).get("name", ""))}
     out = []
     for e in events:
-        if e.get("ph") == "X" and e.get("pid") in device_pids:
-            out.append((e.get("name", "?"), float(e.get("dur", 0.0))))
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        args = e.get("args", {})
+        cat = args.get("hlo_category")
+        if cat is None:
+            continue  # umbrella span / step marker
+        out.append((e.get("name", "?"), float(e.get("dur", 0.0)), cat))
     return out
 
 
-def _bucket(events, iters):
-    sums = collections.defaultdict(float)
-    for name, dur in events:
-        for bucket, rx in BUCKETS:
-            if rx.search(name):
-                sums[bucket] += dur / 1e3 / iters   # -> ms/iter
-                break
-    return sums
+def _phase(op_name):
+    if "transpose(jvp(" in op_name or "/transpose(" in op_name:
+        return "backward"
+    if re.search(r"jvp\(|/FlowNet|conv|correlation|resample|glue", op_name,
+                 re.I):
+        return "forward"
+    return "optimizer/other"
 
 
-def _top_events(events, iters, n):
-    per = collections.defaultdict(float)
-    for name, dur in events:
-        per[name] += dur / 1e3 / iters
-    return sorted(per.items(), key=lambda kv: -kv[1])[:n]
+_SUBNET = re.compile(
+    r"(flownetc|flownets_1|flownets_2|flownets_d|flownetfusion|flownets\b"
+    r"|flownetsd\b)")
 
 
-def trace_fn(fn, args_, label, iters=10):
-    """Run fn iters times under a profiler trace; returns (events, total_ms).
-    """
+def _subnet(op_name):
+    m = _SUBNET.search(op_name)
+    return m.group(1) if m else "(glue/loss/opt)"
+
+
+def report(events, meta, iters, top, csv_path=None):
+    per = collections.defaultdict(lambda: [0.0, ""])
+    for name, dur, cat in events:
+        rec = per[name]
+        rec[0] += dur / 1e3 / iters
+        rec[1] = cat
+    joined = []
+    for name, (ms, cat) in per.items():
+        op_name, shape = meta.get(name, ("", "?"))
+        joined.append((ms, name, cat, op_name, shape))
+    total = sum(j[0] for j in joined)
+    print(f"\ntotal device time: {total:.2f} ms/iter over "
+          f"{len(joined)} instructions")
+    if csv_path:
+        with open(csv_path, "w") as f:
+            f.write("ms\tname\tcategory\tshape\top_name\n")
+            for ms, name, cat, op_name, shape in sorted(
+                    joined, key=lambda j: -j[0]):
+                f.write(f"{ms:.4f}\t{name}\t{cat}\t{shape}\t{op_name}\n")
+        print(f"(per-instruction rows -> {csv_path})")
+
+    for key_fn, label in (
+            (lambda j: _phase(j[3]), "phase"),
+            (lambda j: f"{_phase(j[3])[:4]:4s} | {j[2]}", "phase x category"),
+            (lambda j: _subnet(j[3]), "subnet")):
+        sums = collections.defaultdict(float)
+        for j in joined:
+            sums[key_fn(j)] += j[0]
+        print(f"\n== {label} (ms/iter) ==")
+        for k, v in sorted(sums.items(), key=lambda kv: -kv[1]):
+            if v >= 0.05:
+                print(f"  {k:40s} {v:8.2f}")
+
+    print(f"\n== top {top} single instructions (ms/iter) ==")
+    for ms, name, cat, op_name, shape in sorted(joined, key=lambda j: -j[0])[:top]:
+        tail = op_name.split("/")[-1] if op_name else ""
+        path = "/".join(op_name.split("/")[2:5]) if op_name else ""
+        print(f"  {ms:7.2f}  {name[:28]:28s} {cat[:18]:18s} "
+              f"{shape[:28]:28s} {path[:40]} :: {tail[:30]}")
+
+
+def trace_threaded(fn, state, args_, label, iters=10):
+    """Trace a donated-state step threaded over iters; returns events."""
     import jax
 
-    fn(*args_)  # compile
-    d = tempfile.mkdtemp(prefix=f"fn2trace_{label}_")
-    jax.block_until_ready(args_)
+    st = fn(state, *args_)[0]  # compile + consume the original state
+    jax.block_until_ready(st)
+    d = tempfile.mkdtemp(prefix=f"fn2trace_{label.replace(' ', '_')}_")
     jax.profiler.start_trace(d)
     t0 = time.perf_counter()
     out = None
+    for _ in range(iters):
+        st, out = fn(st, *args_)
+    jax.block_until_ready((st, out))
+    wall = (time.perf_counter() - t0) / iters * 1e3
+    jax.profiler.stop_trace()
+    events = _device_events(d)
+    dev_ms = sum(dur for _, dur, _ in events) / 1e3 / iters
+    print(f"[{label}] wall {wall:.2f} ms/iter, device-op sum "
+          f"{dev_ms:.2f} ms/iter", file=sys.stderr)
+    return events
+
+
+def trace_stateless(fn, args_, label, iters=10):
+    import jax
+
+    out = fn(*args_)  # compile
+    jax.block_until_ready(out)
+    d = tempfile.mkdtemp(prefix=f"fn2trace_{label.replace(' ', '_')}_")
+    jax.profiler.start_trace(d)
+    t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args_)
     jax.block_until_ready(out)
     wall = (time.perf_counter() - t0) / iters * 1e3
     jax.profiler.stop_trace()
     events = _device_events(d)
-    dev_ms = sum(dur for _, dur in events) / 1e3 / iters
-    print(f"[{label}] wall {wall:.2f} ms/iter, device-events sum "
+    dev_ms = sum(dur for _, dur, _ in events) / 1e3 / iters
+    print(f"[{label}] wall {wall:.2f} ms/iter, device-op sum "
           f"{dev_ms:.2f} ms/iter", file=sys.stderr)
-    return events, dev_ms
+    return events
 
 
 def main():
@@ -122,6 +191,8 @@ def main():
     ap.add_argument("--model", default="FlowNet2")
     ap.add_argument("--infer", action="store_true",
                     help="trace inference apply only (no loss/grad/Adam)")
+    ap.add_argument("--csv", default=None,
+                    help="dump joined per-instruction rows to this path")
     args = ap.parse_args()
 
     import jax
@@ -139,64 +210,32 @@ def main():
     flow = jnp.asarray(rng.rand(args.batch, args.h, args.w, 2)
                        .astype(np.float32) * 5.0)
     model = get_model(args.model, **({"dtype": dtype} if dtype else {}))
-    loss_fn = MultiScale()
-    factory = StepFactory(model=model, loss_fn=loss_fn, tx=optax.adam(1e-4))
+    factory = StepFactory(model=model, loss_fn=MultiScale(),
+                          tx=optax.adam(1e-4))
     state = factory.init_state(jax.random.PRNGKey(0), images)
 
-    def loss(params, images, flow):
-        outs = model.apply({"params": params, **({} if state.batch_stats is
-                            None else {"batch_stats": state.batch_stats})},
-                           images, train=True)
-        val, _ = loss_fn(outs if isinstance(outs, (tuple, list)) else [outs],
-                         flow)
-        return val
-
+    hdr = (f"b{args.batch} @{args.h}x{args.w} {args.dtype} "
+           f"{args.model}")
     if args.infer:
-        # inference-mode apply only (eval outputs, no loss/grad)
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
         apply = jax.jit(lambda v, i: model.apply(v, i))
-        ev, ms = trace_fn(apply, (variables, images), "inference",
-                          args.iters)
-        print(f"\n== buckets: inference (device ms/iter, b{args.batch} "
-              f"@{args.h}x{args.w} {args.dtype}) ==")
-        for k, v in sorted(_bucket(ev, args.iters).items(),
-                           key=lambda kv: -kv[1]):
-            print(f"  {k:28s} {v:8.2f}")
-        print(f"\n== top {args.top} single events (ms/iter) ==")
-        for name, ms_ in _top_events(ev, args.iters, args.top):
-            print(f"  {ms_:8.2f}  {name[:100]}")
+        lowered = apply.lower(variables, images)
+        meta = parse_hlo_metadata(lowered.compile().as_text())
+        ev = trace_stateless(apply, (variables, images), "inference",
+                             args.iters)
+        print(f"\n### inference {hdr}")
+        report(ev, meta, args.iters, args.top, args.csv)
         return
 
-    fwd = jax.jit(lambda p, i, f: loss(p, i, f))
-    grad = jax.jit(lambda p, i, f: jax.grad(loss)(p, i, f))
     step = factory.train_step()
-
-    ev_fwd, ms_fwd = trace_fn(fwd, (state.params, images, flow), "fwd",
-                              args.iters)
-    ev_grad, ms_grad = trace_fn(grad, (state.params, images, flow),
-                                "fwd+bwd", args.iters)
-    ev_step, ms_step = trace_fn(lambda s: step(s, images, flow), (state,),
-                                "full step", args.iters)
-
-    print(f"\n== phase deltas (device ms/iter, b{args.batch} "
-          f"@{args.h}x{args.w} {args.dtype}) ==")
-    print(f"forward loss      : {ms_fwd:8.2f}")
-    print(f"backward (delta)  : {ms_grad - ms_fwd:8.2f}")
-    print(f"Adam+bookkeeping  : {ms_step - ms_grad:8.2f}")
-    print(f"full step         : {ms_step:8.2f}")
-
-    for label, ev in (("forward", ev_fwd), ("fwd+bwd", ev_grad),
-                      ("full step", ev_step)):
-        sums = _bucket(ev, args.iters)
-        print(f"\n== buckets: {label} (ms/iter) ==")
-        for k, v in sorted(sums.items(), key=lambda kv: -kv[1]):
-            print(f"  {k:28s} {v:8.2f}")
-
-    print(f"\n== top {args.top} single events, full step (ms/iter) ==")
-    for name, ms in _top_events(ev_step, args.iters, args.top):
-        print(f"  {ms:8.2f}  {name[:100]}")
+    lowered = step.lower(state, images, flow)
+    meta = parse_hlo_metadata(lowered.compile().as_text())
+    ev = trace_threaded(step, state, (images, flow), "train step",
+                        args.iters)
+    print(f"\n### full train step {hdr}")
+    report(ev, meta, args.iters, args.top, args.csv)
 
 
 if __name__ == "__main__":
