@@ -61,6 +61,13 @@ def normalize_pair(inputs: jax.Array, rgb_max: float, dtype=None):
     return x[:, 0], x[:, 1]
 
 
+def _packed_glue_io(x: jax.Array, batch_norm: bool) -> bool:
+    """Use the packed stage-glue <-> FlowNetS entry interface when the
+    spatial dims split 2x2 and no BatchNorm is configured (packed reps
+    would give per-phase BN statistics)."""
+    return (not batch_norm and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+
+
 class FlowNet2(nn.Module):
     """Full C -> S1 -> S2 (+ SD) -> Fusion cascade (models.py:30-185).
 
@@ -84,18 +91,25 @@ class FlowNet2(nn.Module):
 
         # warp img1 toward img0; diff magnitude (models.py:133-138) — the
         # fused stage glue computes the whole block with a channel-major
-        # hand-written VJP (ops/stage_glue.py)
-        concat1 = stage_glue(x, x2, flownetc_flow, self.div_flow)
+        # hand-written VJP (ops/stage_glue.py); where possible it emits the
+        # concat in the 2x2 packed rep feeding FlowNetS's packed entry conv
+        # (the s2d/d2s relayouts live inside the glue VJP)
+        packed_io = _packed_glue_io(x, self.batch_norm)
+        concat1 = stage_glue(x, x2, flownetc_flow, self.div_flow,
+                             packed=packed_io)
 
         # flownets1
         flownets1_flow2 = FlowNetS(12, self.batch_norm, self.dtype,
+                                   packed_input=packed_io,
                                    name="flownets_1")(concat1, training, train_bn)[0]
         flownets1_flow = upsample_bilinear(flownets1_flow2 * self.div_flow, 4)
 
-        concat2 = stage_glue(x, x2, flownets1_flow, self.div_flow)
+        concat2 = stage_glue(x, x2, flownets1_flow, self.div_flow,
+                             packed=packed_io)
 
         # flownets2 (nearest upsample — models.py:71,154)
         flownets2_flow2 = FlowNetS(12, self.batch_norm, self.dtype,
+                                   packed_input=packed_io,
                                    name="flownets_2")(concat2, training, train_bn)[0]
         flownets2_flow = upsample_nearest(flownets2_flow2 * self.div_flow, 4)
 
@@ -106,9 +120,12 @@ class FlowNet2(nn.Module):
 
         # fusion input (warps + packed channel norms + concat,
         # models.py:155-179) — fused block with a channel-major VJP
-        # (ops/stage_glue.py:fusion_glue)
-        concat3 = fusion_glue(x1, x2, flownetsd_flow, flownets2_flow)
+        # (ops/stage_glue.py:fusion_glue), emitted in the 2x2 packed rep
+        # feeding FlowNetFusion's packed L0 directly where possible
+        concat3 = fusion_glue(x1, x2, flownetsd_flow, flownets2_flow,
+                              packed=packed_io)
         flownetfusion_flow = FlowNetFusion(self.batch_norm, self.dtype,
+                                           packed_input=packed_io,
                                            name="flownetfusion")(concat3, train_bn)
         return flownetfusion_flow
 
@@ -188,9 +205,12 @@ class FlowNet2CS(nn.Module):
                                   name="flownetc")(x1, x2, training, train_bn)[0]
         flownetc_flow = upsample_bilinear(flownetc_flow2 * self.div_flow, 4)
 
-        concat1 = stage_glue(x, x2, flownetc_flow, self.div_flow)
+        packed_io = _packed_glue_io(x, self.batch_norm)
+        concat1 = stage_glue(x, x2, flownetc_flow, self.div_flow,
+                             packed=packed_io)
 
         flows = FlowNetS(12, self.batch_norm, self.dtype,
+                         packed_input=packed_io,
                          name="flownets_1")(concat1, training, train_bn)
         if training:
             return flows
@@ -214,15 +234,20 @@ class FlowNet2CSS(nn.Module):
                                   name="flownetc")(x1, x2, training, train_bn)[0]
         flownetc_flow = upsample_bilinear(flownetc_flow2 * self.div_flow, 4)
 
-        concat1 = stage_glue(x, x2, flownetc_flow, self.div_flow)
+        packed_io = _packed_glue_io(x, self.batch_norm)
+        concat1 = stage_glue(x, x2, flownetc_flow, self.div_flow,
+                             packed=packed_io)
 
         flownets1_flow2 = FlowNetS(12, self.batch_norm, self.dtype,
+                                   packed_input=packed_io,
                                    name="flownets_1")(concat1, training, train_bn)[0]
         flownets1_flow = upsample_bilinear(flownets1_flow2 * self.div_flow, 4)
 
-        concat2 = stage_glue(x, x2, flownets1_flow, self.div_flow)
+        concat2 = stage_glue(x, x2, flownets1_flow, self.div_flow,
+                             packed=packed_io)
 
         flows = FlowNetS(12, self.batch_norm, self.dtype,
+                         packed_input=packed_io,
                          name="flownets_2")(concat2, training, train_bn)
         if training:
             return flows

@@ -31,9 +31,12 @@ class FlowNetC(nn.Module):
         conv = lambda f, k=3, s=1, name=None: ConvBlock(
             f, k, s, batch_norm=bn, dtype=dt, name=name)
 
-        # Entry conv runs in the 2x2 packed rep at inference only (see
-        # FlowNetS.conv1 — the s2d backward regresses the train step);
-        # parameter tree identical either way.
+        # Entry conv runs in the 2x2 packed rep at inference only.  Even
+        # though x1/x2 are leaves here (the s2d *backward* is DCE'd, unlike
+        # FlowNetS's), packing the training forward was measured in round 5
+        # and LOSES ~2 ms/step: the conv1 kgrad then needs the s2d'd input
+        # as a residual — an extra materialized full-res relayout — and the
+        # 3->12 lane win doesn't cover it.  Parameter tree identical.
         packed_entry = (not self.batch_norm and not training
                         and x1.shape[1] % 2 == 0 and x1.shape[2] % 2 == 0)
         conv1 = ConvBlock(64, 7, 2, batch_norm=bn, dtype=dt,

@@ -21,6 +21,13 @@ class FlowNetS(nn.Module):
     input_channels: int = 12
     batch_norm: bool = False
     dtype: Optional[Any] = None
+    # Input arrives ALREADY in the 2x2 space-to-depth rep (B, H/2, W/2,
+    # 4*input_channels) — the packed stage-glue interface
+    # (ops/stage_glue.py stage_glue(packed=True)): the glue's custom VJP
+    # owns the s2d/d2s relayouts, so the packed entry conv is profitable in
+    # training too (the round-4 +8 ms/step s2d-backward penalty was the
+    # autodiff relayout this interface eliminates).
+    packed_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False,
@@ -29,18 +36,24 @@ class FlowNetS(nn.Module):
         conv = lambda f, k=3, s=1, name=None: ConvBlock(
             f, k, s, batch_norm=bn, dtype=dt, name=name)
 
-        # Full-res 7x7/s2 entry conv in the 2x2 packed rep (4x4 window over
-        # 4x channels) at INFERENCE only: measured -1.7 ms/b8 fwd but
-        # +8 ms/step train (the space_to_depth backward adds a full-res
-        # relayout to the concat cotangent path), so the training forward
-        # keeps the direct conv.  Parameters identical either way.
-        packed_entry = (not bn and not training
-                        and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if self.packed_input:
+            if bn:
+                raise ValueError("packed_input does not support BatchNorm")
+            packed_entry = True
+            a_in = x
+        else:
+            # Standalone use (e.g. FlowNet2S): full-res 7x7/s2 entry conv
+            # in the packed rep at INFERENCE only — without the packed glue
+            # interface the s2d backward relayouts the live concat
+            # cotangent (+8 ms/step measured), so the training forward
+            # keeps the direct conv.  Parameters identical either way.
+            packed_entry = (not bn and not training
+                            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+            a_in = P.space_to_depth(x) if packed_entry else x
         conv1 = ConvBlock(64, 7, 2, batch_norm=bn, dtype=dt,
                           packed_mode="s2_aligned" if packed_entry else None,
                           name="conv1")
-        out_conv1 = conv1(P.space_to_depth(x) if packed_entry else x,
-                          train_bn)
+        out_conv1 = conv1(a_in, train_bn)
         out_conv2 = conv(128, 5, 2, "conv2")(out_conv1, train_bn)
         out_conv3 = conv(256, 5, 2, "conv3")(out_conv2, train_bn)
         out_conv3 = conv(256, 3, 1, "conv3_1")(out_conv3, train_bn)

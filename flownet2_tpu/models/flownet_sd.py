@@ -101,6 +101,11 @@ class FlowNetFusion(nn.Module):
     581,226 params, 11-channel input)."""
     batch_norm: bool = False
     dtype: Optional[Any] = None
+    # Input arrives ALREADY in the 2x2 space-to-depth rep (B, H/2, W/2,
+    # 44) — the packed fusion-glue interface (ops/stage_glue.py
+    # fusion_glue(packed=True)); the glue's custom VJP owns the d2s
+    # cotangent relayout that autodiff would otherwise pay here.
+    packed_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train_bn: bool = False):
@@ -109,14 +114,16 @@ class FlowNetFusion(nn.Module):
             f, k, s, batch_norm=bn, dtype=dt, name=name)
         iconv = lambda f, name: IConv(f, 3, 1, batch_norm=bn, dtype=dt, name=name)
 
-        use_packed = _use_packed(x, bn)
+        if self.packed_input and bn:
+            raise ValueError("packed_input does not support BatchNorm")
+        use_packed = self.packed_input or _use_packed(x, bn)
         if use_packed:
             # The whole full-res level lives in the packed rep: aligned and
             # staggered tensors alternate through conv0 -> (deconv0,
             # upsampled_flow1, skip) -> inter_conv0 -> predict_flow0, so the
             # only relayouts are one space_to_depth at entry and the cheap
             # 2-channel staggered unpack at exit.
-            a_in = P.space_to_depth(x)
+            a_in = x if self.packed_input else P.space_to_depth(x)
             s_conv0 = P.staggered_mask(
                 ConvBlock(64, 3, 1, batch_norm=bn, dtype=dt,
                           packed_mode="a2s", name="conv0")(a_in, train_bn),

@@ -69,20 +69,33 @@ def _fused_fwd(x, x2, flow, div_flow):
 
 
 def _fused_bwd(div_flow, res, g):
+    # ONE channel-major relayout of the LIVE cotangent channels (6..12 —
+    # the warp/flow/norm pieces; channels 0..6 only feed the dead d_x);
+    # slices along the leading channel dim below are free.  Everything
+    # slices the SAME padded array (wrapped in an optimization_barrier —
+    # without it XLA materialised the transpose in three layouts, one per
+    # consumer cluster; the barrier measured -1.7 ms/step at b8 384x448).
+    x1 = res[0]
+    hp, wp = res[3].shape[2], res[3].shape[3]
+    height, width = x1.shape[1:3]
+    g_cm_p = jax.lax.optimization_barrier(jnp.pad(
+        jnp.transpose(g[..., 6:].astype(jnp.float32), (0, 3, 1, 2)),
+        ((0, 0), (0, 0), (0, hp - height), (0, wp - width))))
+    return _glue_bwd_core(div_flow, res, g_cm_p, g[..., :6])
+
+
+def _glue_bwd_core(div_flow, res, g_cm_p, g_x_nhwc):
+    """Shared backward body: ``g_cm_p`` is the concat cotangent's LIVE
+    channels 6..12 in padded channel-major form (B, 6, Hp, Wp) f32;
+    ``g_x_nhwc`` its first six channels in NHWC (only used for the
+    dead-in-practice d_x)."""
     x1, x2, flow, out_cm, d1_cm, d2_cm = res
     batch, height, width, _ = x1.shape
     hp, wp = out_cm.shape[2], out_cm.shape[3]
 
-    # ONE channel-major relayout of the 12-channel cotangent; slices along
-    # the leading channel dim below are free.  Everything slices the SAME
-    # padded array — mixing padded and unpadded consumers made XLA
-    # materialise the transpose twice (train HLO: 4 copies for 2 glues).
-    g_cm_p = jax.lax.optimization_barrier(jnp.pad(
-        jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)),
-        ((0, 0), (0, 0), (0, hp - height), (0, wp - width))))
-    g_r = g_cm_p[:, 6:9]
-    g_f = g_cm_p[:, 9:11, :height, :width]
-    g_n = g_cm_p[:, 11:12]
+    g_r = g_cm_p[:, 0:3]
+    g_f = g_cm_p[:, 3:5, :height, :width]
+    g_n = g_cm_p[:, 5:6]
 
     # diff / norm recomputed in cm form from the kernel's native planes
     x1_cm = jnp.pad(jnp.transpose(x1.astype(jnp.float32), (0, 3, 1, 2)),
@@ -104,7 +117,7 @@ def _fused_bwd(div_flow, res, g):
     # where x/x2 are leaves.
     d_diff_nhwc = jnp.transpose(
         d_diff[:, :, :height, :width], (0, 2, 3, 1))
-    d_x = g[..., :6].astype(jnp.float32) + jnp.pad(
+    d_x = g_x_nhwc.astype(jnp.float32) + jnp.pad(
         d_diff_nhwc, ((0, 0), (0, 0), (0, 0), (0, 3)))
     gw_nhwc = jnp.transpose(gw[:, :, :height, :width], (0, 2, 3, 1))
     d_x2 = _scatter_d_img(x2.astype(jnp.float32), flow, gw_nhwc, 1,
@@ -115,15 +128,100 @@ def _fused_bwd(div_flow, res, g):
 _fused_glue.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed-output variant: the glue emits the concat already in the 2x2
+# space-to-depth rep (B, H/2, W/2, 48) feeding FlowNetS's packed entry conv
+# (models/flownet_s.py packed_input).  This moves the s2d across the
+# glue<->conv1 seam INTO the glue's custom VJP: the backward receives the
+# 48-lane packed cotangent (whose producing dgrad conv writes full-lane
+# tiles instead of 12-lane-minor ones) and relayouts it to channel-major
+# form in ONE transpose — the depth-to-space and the NHWC->cm transpose
+# composed.  Round 4 measured the naive alternative (packed entry conv with
+# the s2d backward left to autodiff) at +8 ms/step; this form keeps the
+# entry conv packed in TRAINING at a profit (docs/PERF_r05.md).
+# ---------------------------------------------------------------------------
+
+def _s2d(x):
+    from ..nn.packed import space_to_depth
+    return space_to_depth(x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_glue_packed(x, x2, flow, div_flow):
+    return _s2d(_plain_glue(x, x2, flow, div_flow))
+
+
+def _fused_packed_fwd(x, x2, flow, div_flow):
+    concat, res = _fused_fwd(x, x2, flow, div_flow)
+    return _s2d(concat), res
+
+
+def _interleave(x0, x1, axis):
+    """Interleave two equal arrays along ``axis`` (x0 at even positions)."""
+    stacked = jnp.stack([x0, x1], axis=axis + 1)
+    shape = x0.shape[:axis] + (2 * x0.shape[axis],) + x0.shape[axis + 1:]
+    return stacked.reshape(shape)
+
+
+def packed_to_cm(g_p, channels, c0, c1, hp, wp):
+    """Packed (B, h, w, 4*channels) with phase groups (a, b, c) ->
+    channel-major full-res (B, c1-c0, Hp, Wp) f32 of channels [c0, c1),
+    zero-padded to (hp, wp) — the depth-to-space and the NHWC->cm
+    transpose composed into one 6D transpose.
+
+    A phase-sliced formulation (4 quarter-res cm transposes + stack
+    interleaves) measured 3x FASTER standalone but 6 ms/step SLOWER
+    in-graph — XLA turned the interleaves into channel-minor 5D loop
+    fusions regardless of barrier placement; in-graph fusion context
+    decides (round-4 design rule), so the 6D transpose stays."""
+    batch, h2, w2, _ = g_p.shape
+    g6 = g_p.reshape(batch, h2, w2, 2, 2, channels)[..., c0:c1]
+    full = jnp.transpose(g6.astype(jnp.float32), (0, 5, 1, 3, 2, 4)) \
+        .reshape(batch, c1 - c0, 2 * h2, 2 * w2)
+    return jnp.pad(full, ((0, 0), (0, 0), (0, hp - 2 * h2),
+                          (0, wp - 2 * w2)))
+
+
+def _fused_packed_bwd(div_flow, res, g_p):
+    # g_p (B, h, w, 48), phase groups (a, b, c12).  Only channels 6..12 of
+    # each group are live (0..6 feed the dead d_x); relayout exactly those
+    # to padded cm form via the phase-slice interleave.  Barriers on BOTH
+    # sides: without them XLA fuses the interleave stacks into its
+    # neighbours as 5D loop fusions with (8,128)-hostile layouts (measured
+    # +6 ms/step — the standalone relayout is 3x faster than what the
+    # fused form produced).
+    hp, wp = res[3].shape[2], res[3].shape[3]
+    g_cm_p = jax.lax.optimization_barrier(
+        packed_to_cm(g_p, 12, 6, 12, hp, wp))
+    # d_x path (dead in every model graph, DCE'd): cheap NHWC rebuild
+    height, width = res[0].shape[1], res[0].shape[2]
+    g_x_nhwc = jnp.transpose(
+        packed_to_cm(g_p, 12, 0, 6, height, width), (0, 2, 3, 1))
+    return _glue_bwd_core(div_flow, res, g_cm_p, g_x_nhwc)
+
+
+_fused_glue_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
+
+
 def stage_glue(x: jax.Array, x2: jax.Array, flow: jax.Array,
-               div_flow: float) -> jax.Array:
+               div_flow: float, packed: bool = False) -> jax.Array:
     """cat([x, resample2d(x2, flow), flow/div_flow, ||x[..,:3]-warp||]).
 
     x: (B, H, W, 6) the stacked frame pair; x2: (B, H, W, 3); flow
     (B, H, W, 2).  Returns the stage's 12-channel concat
-    (/root/reference/models.py:133-138 and the S1/S2 repeats).
+    (/root/reference/models.py:133-138 and the S1/S2 repeats) — or, with
+    ``packed``, its exact 2x2 space-to-depth rep (B, H/2, W/2, 48) for a
+    packed FlowNetS entry (requires even H, W).
     """
-    if _pallas_wrapper(x2, 1, True) is not None:
+    has_kernel = _pallas_wrapper(x2, 1, True) is not None
+    if packed:
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            raise ValueError(f"packed stage_glue needs even H, W; got "
+                             f"{x.shape}")
+        if has_kernel:
+            return _fused_glue_packed(x, x2, flow, div_flow)
+        return _s2d(_plain_glue(x, x2, flow, div_flow))
+    if has_kernel:
         return _fused_glue(x, x2, flow, div_flow)
     return _plain_glue(x, x2, flow, div_flow)
 
@@ -186,19 +284,31 @@ def _fusion_fwd(x1, x2, sd_flow, s2_flow):
 
 
 def _fusion_bwd(res, g):
+    # Live cotangent channels are 3..11 (0..3 only feed the dead d_x1);
+    # ONE cm relayout of exactly those (see _fused_bwd).
+    x1 = res[0]
+    hp, wp = res[4].shape[2], res[4].shape[3]
+    height, width = x1.shape[1:3]
+    g_cm_p = jax.lax.optimization_barrier(jnp.pad(
+        jnp.transpose(g[..., 3:].astype(jnp.float32), (0, 3, 1, 2)),
+        ((0, 0), (0, 0), (0, hp - height), (0, wp - width))))
+    return _fusion_bwd_core(res, g_cm_p, g[..., :3])
+
+
+def _fusion_bwd_core(res, g_cm_p, g_x1_nhwc):
+    """Shared backward body: ``g_cm_p`` holds the concat3 cotangent's LIVE
+    channels 3..11 in padded cm form (B, 8, Hp, Wp) f32; ``g_x1_nhwc`` the
+    first three channels in NHWC (only for the dead-in-practice d_x1)."""
     x1, x2, sd_flow, s2_flow, sd_cm, s2_cm, d1sd, d2sd, d1s2, d2s2 = res
     batch, height, width, _ = x1.shape
     hp, wp = sd_cm.shape[2], sd_cm.shape[3]
 
-    g_cm_p = jax.lax.optimization_barrier(jnp.pad(
-        jnp.transpose(g.astype(jnp.float32), (0, 3, 1, 2)),  # (B, 11, H, W)
-        ((0, 0), (0, 0), (0, hp - height), (0, wp - width))))
-    g_sdf = g_cm_p[:, 3:5, :height, :width]
-    g_s2f = g_cm_p[:, 5:7, :height, :width]
-    g_nsd_flow = g_cm_p[:, 7:8, :height, :width]   # d ||sd_flow||
-    g_ns2_flow = g_cm_p[:, 8:9, :height, :width]   # d ||s2_flow||
-    g_nerr_sd = g_cm_p[:, 9:10]    # d ||x1 - warp_sd||
-    g_nerr_s2 = g_cm_p[:, 10:11]   # d ||x1 - warp_s2||
+    g_sdf = g_cm_p[:, 0:2, :height, :width]
+    g_s2f = g_cm_p[:, 2:4, :height, :width]
+    g_nsd_flow = g_cm_p[:, 4:5, :height, :width]   # d ||sd_flow||
+    g_ns2_flow = g_cm_p[:, 5:6, :height, :width]   # d ||s2_flow||
+    g_nerr_sd = g_cm_p[:, 6:7]    # d ||x1 - warp_sd||
+    g_nerr_s2 = g_cm_p[:, 7:8]    # d ||x1 - warp_s2||
 
     x1_cm = jnp.pad(jnp.transpose(x1.astype(jnp.float32), (0, 3, 1, 2)),
                     ((0, 0), (0, 0), (0, hp - height), (0, wp - width)))
@@ -227,7 +337,7 @@ def _fusion_bwd(res, g):
                                     s2_flow, s2_cm, d1s2, d2s2)
 
     # Honest input cotangents — dead (DCE'd) in the models.
-    d_x1 = (g[..., :3].astype(jnp.float32)
+    d_x1 = (g_x1_nhwc.astype(jnp.float32)
             + jnp.transpose((d_err_sd + d_err_s2)[:, :, :height, :width],
                             (0, 2, 3, 1)))
     x2f = x2.astype(jnp.float32)
@@ -244,8 +354,32 @@ def _fusion_bwd(res, g):
 _fused_fusion_glue.defvjp(_fusion_fwd, _fusion_bwd)
 
 
+@jax.custom_vjp
+def _fused_fusion_glue_packed(x1, x2, sd_flow, s2_flow):
+    return _s2d(_fused_fusion_glue(x1, x2, sd_flow, s2_flow))
+
+
+def _fusion_packed_fwd(x1, x2, sd_flow, s2_flow):
+    concat, res = _fusion_fwd(x1, x2, sd_flow, s2_flow)
+    return _s2d(concat), res
+
+
+def _fusion_packed_bwd(res, g_p):
+    # g_p (B, h, w, 44), phase groups (a, b, c11); live channels 3..11.
+    hp, wp = res[4].shape[2], res[4].shape[3]
+    g_cm_p = jax.lax.optimization_barrier(
+        packed_to_cm(g_p, 11, 3, 11, hp, wp))
+    height, width = res[0].shape[1], res[0].shape[2]
+    g_x1_nhwc = jnp.transpose(
+        packed_to_cm(g_p, 11, 0, 3, height, width), (0, 2, 3, 1))
+    return _fusion_bwd_core(res, g_cm_p, g_x1_nhwc)
+
+
+_fused_fusion_glue_packed.defvjp(_fusion_packed_fwd, _fusion_packed_bwd)
+
+
 def fusion_glue(x1: jax.Array, x2: jax.Array, sd_flow: jax.Array,
-                s2_flow: jax.Array) -> jax.Array:
+                s2_flow: jax.Array, packed: bool = False) -> jax.Array:
     """The FlowNetFusion input block (models.py:155-179):
 
         cat([x1, sd_flow, s2_flow,
@@ -258,6 +392,14 @@ def fusion_glue(x1: jax.Array, x2: jax.Array, sd_flow: jax.Array,
     op in the round-4 train trace, 8.4 ms/step) and the two warps pay NHWC
     transposes around their tangent contractions.
     """
-    if _pallas_wrapper(x2, 1, True) is not None:
+    has_kernel = _pallas_wrapper(x2, 1, True) is not None
+    if packed:
+        if x1.shape[1] % 2 or x1.shape[2] % 2:
+            raise ValueError(f"packed fusion_glue needs even H, W; got "
+                             f"{x1.shape}")
+        if has_kernel:
+            return _fused_fusion_glue_packed(x1, x2, sd_flow, s2_flow)
+        return _s2d(_plain_fusion_glue(x1, x2, sd_flow, s2_flow))
+    if has_kernel:
         return _fused_fusion_glue(x1, x2, sd_flow, s2_flow)
     return _plain_fusion_glue(x1, x2, sd_flow, s2_flow)
