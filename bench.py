@@ -226,18 +226,25 @@ def main():
 
     # Sintel-native resolution (436x1024 snaps to 384x1024): corr width 128
     # exercises the wide-W column-chunked correlation kernel on hardware
-    # (the parity-protocol shape class; VERDICT r2 missing #2).
+    # (the parity-protocol shape class; VERDICT r2 missing #2).  Both b4
+    # (historical row) and b8: the r5 profiling found the apparent "wide
+    # path overhead" is mostly a BATCH-4 penalty — XLA space-to-batch
+    # converts every conv at batch < 8 through extra relayout copies, a
+    # ~1.7x per-pixel cliff at ANY width (docs/PERF_r05.md) — while at
+    # matched batch the width overhead is only ~1.08x per pixel.
     if budget_left() > 150:
         try:
             model = get_model("FlowNet2")
-            wide = jnp.asarray(
-                rng.rand(4, 2, 384, 1024, 3).astype(np.float32) * 255.0)
-            variables = jax.jit(model.init)(jax.random.PRNGKey(0), wide)
-            dt = time_chained(model.apply, variables, wide, iters=15)
-            print(f"FlowNet2 @384x1024 (Sintel-native, wide-corr kernel): "
-                  f"{dt*1e3:.2f} ms/batch4 -> {4/dt:.1f} frames/s",
-                  file=sys.stderr)
-            del variables
+            for wb in (4, 8):
+                wide = jnp.asarray(
+                    rng.rand(wb, 2, 384, 1024, 3).astype(np.float32) * 255.0)
+                variables = jax.jit(model.init)(jax.random.PRNGKey(0), wide)
+                dt = time_chained(model.apply, variables, wide, iters=15)
+                mpx = wb * 384 * 1024 / 1e6
+                print(f"FlowNet2 @384x1024 b{wb} (Sintel-native, wide-corr "
+                      f"kernel): {dt*1e3:.2f} ms/batch -> {wb/dt:.1f} "
+                      f"frames/s ({dt*1e3/mpx:.1f} ms/Mpx)", file=sys.stderr)
+                del variables
         except Exception as e:
             print(f"FlowNet2 @384x1024: FAILED {e}", file=sys.stderr)
 
