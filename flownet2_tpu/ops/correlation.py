@@ -124,25 +124,34 @@ def _correlation_mxu(f1, f2, pad_size, kernel_size, max_displacement,
     """Banded-matmul formulation (K=1, s1=1 fast path -> MXU)."""
     assert kernel_size == 1 and stride1 == 1, "mxu path needs K=1, s1=1"
     assert pad_size == max_displacement, "mxu path needs pad == max_disp"
+    pad = ((0, 0), (pad_size, pad_size), (pad_size, pad_size), (0, 0))
+    return _mxu_padded(f1, jnp.pad(f2, pad), max_displacement, stride2)
+
+
+def _mxu_padded(f1, f2p, max_displacement, stride2):
+    """Banded-matmul core on a pre-padded f2.
+
+    ``f2p`` is f1's correlation target zero-padded by maxd on BOTH spatial
+    dims — either pad(f2) (single-extent path) or the W-padded halo slab of
+    the spatially-sharded composition (ops/correlation_spatial.py), whose
+    rows [0, Hloc + 2*maxd) are global rows [off - maxd, off + Hloc + maxd).
+    Shared so the two paths are arithmetic-identical per output element
+    (same dynamic-slice content, same einsum contraction)."""
     batch, height, width, channels = f1.shape
     d_rad = max_displacement // stride2
     disp = 2 * d_rad + 1
 
-    # Pad f2 (pad == maxd in FlowNet; handle the general pad too).
-    pad = ((0, 0), (pad_size, pad_size), (pad_size, pad_size), (0, 0))
-    f2p = jnp.pad(f2, pad)
     # Output pixel (y, x) in f1 coords; in padded f2 coords the matching
-    # centre is (y + pad, x + pad).  Row shift tj*s2 selects padded row
-    # y + pad + tj*s2; columns x + pad + ti*s2 for ti in [-d_rad, d_rad]
-    # form a band of width 2*maxd + 1 around x + pad.
+    # centre is (y + maxd, x + maxd).  Row shift tj*s2 selects padded row
+    # y + maxd + tj*s2; columns x + maxd + ti*s2 for ti in [-d_rad, d_rad]
+    # form a band of width 2*maxd + 1 around x + maxd.
     wp = width + 2 * max_displacement
-    # g2[b, tj, y, :, c] = f2p row (y + pad + tj*s2), cols centred for x-band
-    col0 = pad_size - max_displacement
+    # g2[b, tj, y, :, c] = f2p row (y + maxd + tj*s2), cols centred for x-band
     rows = []
     for tj in range(-d_rad, d_rad + 1):
-        r0 = pad_size + tj * stride2
+        r0 = max_displacement + tj * stride2
         rows.append(jax.lax.dynamic_slice(
-            f2p, (0, r0, col0, 0), (batch, height, wp, channels)))
+            f2p, (0, r0, 0, 0), (batch, height, wp, channels)))
     g2 = jnp.stack(rows, axis=1)  # (B, D, H, Wp, C)
 
     # Batched matmul on MXU: (B, D, H, W, C) x (B, D, H, Wp, C) -> band
@@ -198,7 +207,6 @@ def _dispatch(f1, f2, pad_size, kernel_size, max_displacement, stride1,
                                max_displacement, stride1, stride2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def correlation(f1: Array, f2: Array, pad_size: int = 20,
                 kernel_size: int = 1, max_displacement: int = 20,
                 stride1: int = 1, stride2: int = 2, corr_multiply: int = 1,
@@ -210,6 +218,30 @@ def correlation(f1: Array, f2: Array, pad_size: int = 20,
     ``corr_multiply`` is accepted for parity; like the reference kernel it
     has no effect.  Returns (B, out_h, out_w, D*D).
     """
+    if kernel_size == 1 and stride1 == 1 and pad_size == max_displacement:
+        # Under a spatially-sharded mesh the op composes as a (data,
+        # spatial) shard_map with a +-maxd halo slab of f2 — the CP-analog
+        # path (ops/correlation_spatial.py); the correlation window is
+        # statically bounded (unlike the warp's data-dependent flow), so
+        # the composition is exact at any shard height.
+        from .correlation_spatial import spatial_wrapper
+
+        sw = spatial_wrapper(f1, f2, max_displacement, stride2,
+                             impl or _DEFAULT_IMPL)
+        if sw is not None:
+            return sw(f1, f2)
+    return _correlation_core(f1, f2, pad_size, kernel_size, max_displacement,
+                             stride1, stride2, corr_multiply, impl)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _correlation_core(f1: Array, f2: Array, pad_size: int = 20,
+                      kernel_size: int = 1, max_displacement: int = 20,
+                      stride1: int = 1, stride2: int = 2,
+                      corr_multiply: int = 1,
+                      impl: str | None = None) -> Array:
+    """Single-extent correlation (no spatial-mesh composition): Pallas
+    kernels / MXU / shifts per ``impl``; custom VJP below."""
     del corr_multiply
     return _dispatch(f1, f2, pad_size, kernel_size, max_displacement,
                      stride1, stride2, impl or _DEFAULT_IMPL)
@@ -217,8 +249,8 @@ def correlation(f1: Array, f2: Array, pad_size: int = 20,
 
 def _corr_fwd(f1, f2, pad_size, kernel_size, max_displacement, stride1,
               stride2, corr_multiply, impl):
-    out = correlation(f1, f2, pad_size, kernel_size, max_displacement,
-                      stride1, stride2, corr_multiply, impl)
+    out = _correlation_core(f1, f2, pad_size, kernel_size, max_displacement,
+                            stride1, stride2, corr_multiply, impl)
     return out, (f1, f2)
 
 
@@ -302,7 +334,7 @@ def _corr_bwd(pad_size, kernel_size, max_displacement, stride1, stride2,
     return (d_f1 / nelems).astype(f1.dtype), (d_f2 / nelems).astype(f2.dtype)
 
 
-correlation.defvjp(_corr_fwd, _corr_bwd)
+_correlation_core.defvjp(_corr_fwd, _corr_bwd)
 
 
 class Correlation:

@@ -103,7 +103,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _f2pt(f2: jax.Array, max_displacement: int, wp: int) -> jax.Array:
+def _f2pt(f2: jax.Array, max_displacement: int, wp: int,
+          pad_h: bool = True) -> jax.Array:
     """Zero-pad f2 spatially by ``max_displacement`` (reference
     correlation_cuda.cc:36-42), top up the column dim to ``wp`` lanes with
     zeros, and transpose the channel dim in front of the columns so row
@@ -111,11 +112,16 @@ def _f2pt(f2: jax.Array, max_displacement: int, wp: int) -> jax.Array:
 
     The column top-up must be real zeros (not implicit block padding): the
     backward kernels contract over all ``wp`` lanes, so out-of-bounds
-    garbage there would corrupt (or NaN) the gradient."""
+    garbage there would corrupt (or NaN) the gradient.
+
+    ``pad_h=False`` is the *rows* (spatially-sharded) path: the caller
+    passes a slab already carrying its +-maxd row halo (with true zeros at
+    the global image edges), so only the columns are padded here."""
     _, _, width, _ = f2.shape
+    hpad = max_displacement if pad_h else 0
     f2p = jnp.pad(
         f2.astype(jnp.bfloat16),
-        ((0, 0), (max_displacement, max_displacement),
+        ((0, 0), (hpad, hpad),
          (max_displacement, wp - width - max_displacement),
          (0, 0)))
     return jnp.transpose(f2p, (0, 1, 3, 2))  # (B, Hp, C, Wp)
@@ -130,17 +136,19 @@ def _chunk_plan(width: int):
     return n, n * _CHUNK_W
 
 
-def _f2_chunk_stack(f2: jax.Array, maxd: int, n: int) -> jax.Array:
+def _f2_chunk_stack(f2: jax.Array, maxd: int, n: int,
+                    pad_h: bool = True) -> jax.Array:
     """(B, H, W, C) -> (B, n, Hp, C, 128) bf16: per column chunk i, the
     128-lane window of zero-padded+transposed f2 starting at padded column
     i*TW — covers the chunk's full band (local idx <= TW-1 + 2*maxd < 128).
     Lanes past TW + 2*maxd may hold neighbouring real data; every consumer
     either never reads them (forward band gather) or masks them (backward
-    validity masks)."""
+    validity masks).  ``pad_h=False``: rows path, f2 is a pre-H-padded slab."""
     _, _, width, _ = f2.shape
     wtot = (n - 1) * _CHUNK_W + _LANES
+    hpad = maxd if pad_h else 0
     f2p = jnp.pad(f2.astype(jnp.bfloat16),
-                  ((0, 0), (maxd, maxd), (maxd, wtot - width - maxd), (0, 0)))
+                  ((0, 0), (hpad, hpad), (maxd, wtot - width - maxd), (0, 0)))
     f2pt = jnp.transpose(f2p, (0, 1, 3, 2))  # (B, Hp, C, wtot)
     chunks = [jax.lax.slice_in_dim(f2pt, i * _CHUNK_W, i * _CHUNK_W + _LANES,
                                    axis=3) for i in range(n)]
@@ -215,7 +223,7 @@ def _bwd_f1_kernel_wide(g_ref, f2_ref, out_ref, *, disp, stride2, channels):
 
 
 def _bwd_f2_kernel_wide(g_ref, f1_ref, out_ref, *, disp, stride2, maxd,
-                        height, channels, tw):
+                        height, channels, tw, row_shift, out_rows):
     """d_f2, wide path, SCATTER over g rows.
 
     Grid (B, n, H) iterates the *forward* rows y; per step only that row's
@@ -224,7 +232,10 @@ def _bwd_f2_kernel_wide(g_ref, f1_ref, out_ref, *, disp, stride2, maxd,
     zero-padded at array edges) — and the row's 2*maxd+1 output-row
     contributions  B_t^T . f1[y]  (y2 = y - maxd + t*s2) accumulate into
     the VMEM-resident per-(b, chunk) output block out_ref (1,1,H,TW,C),
-    zeroed at y == 0 and divided by C at the last row.
+    zeroed at y == 0 and divided by C at the last row.  ``row_shift`` =
+    -maxd for the standard path (out rows in unpadded d_f2 coordinates,
+    out_rows == height) and 0 for the *rows* path (out rows in halo/slab
+    coordinates, out_rows == height + 2*maxd — every contribution lands).
 
     This replaces a gather formulation that kept the chunk's WHOLE-H g and
     f1 windows resident (~15.3 MB at the FlowNet2 Sintel-native train
@@ -250,7 +261,7 @@ def _bwd_f2_kernel_wide(g_ref, f1_ref, out_ref, *, disp, stride2, maxd,
     grow = g_ref[0, 0, 0]                                      # (TWW, D*D)
     f1row = f1_ref[0, 0, 0]                                    # (TWW, C)
     for t in range(disp):
-        y2 = y - maxd + t * stride2
+        y2 = y + row_shift + t * stride2
         gt = grow[:, t * disp:(t + 1) * disp]                  # (TWW, D)
         gtp = jnp.pad(gt.astype(jnp.float32), ((0, 0), (0, _LANES - disp)))
         band = jnp.where(valid, jnp.take_along_axis(gtp, idx, axis=1),
@@ -259,9 +270,9 @@ def _bwd_f2_kernel_wide(g_ref, f1_ref, out_ref, *, disp, stride2, maxd,
             band, f1row, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (128, C)
 
-        @pl.when((y2 >= 0) & (y2 < height))
+        @pl.when((y2 >= 0) & (y2 < out_rows))
         def _():
-            y2c = jnp.clip(y2, 0, height - 1)
+            y2c = jnp.clip(y2, 0, out_rows - 1)
             out_ref[0, 0, y2c] = out_ref[0, 0, y2c] + contrib[:tw]
 
     @pl.when(y == height - 1)
@@ -269,13 +280,17 @@ def _bwd_f2_kernel_wide(g_ref, f1_ref, out_ref, *, disp, stride2, maxd,
         out_ref[...] = out_ref[...] / channels
 
 
-def _correlation_pallas_wide(f1, f2, max_displacement, stride2):
+def _correlation_pallas_wide(f1, f2, max_displacement, stride2,
+                             slab=False):
+    """``slab=True``: rows path — f2 is a pre-H-padded (B, H+2*maxd, W, C)
+    halo slab (spatially-sharded composition, ops/correlation_spatial.py)."""
     batch, height, width, channels = f1.shape
     d_rad = max_displacement // stride2
     disp = 2 * d_rad + 1
     n, wpad = _chunk_plan(width)
 
-    f2c = _f2_chunk_stack(f2, max_displacement, n)  # (B, n, Hp, C, 128)
+    f2c = _f2_chunk_stack(f2, max_displacement, n,
+                          pad_h=not slab)           # (B, n, Hp, C, 128)
     f1c = _col_chunks(f1.astype(jnp.bfloat16), n)   # (B, n, H, TW, C)
     hp = height + 2 * max_displacement
 
@@ -305,7 +320,10 @@ def _correlation_pallas_wide(f1, f2, max_displacement, stride2):
     return (_unchunk(out, width) / channels).astype(f1.dtype)
 
 
-def _correlation_pallas_bwd_wide(g, f1, f2, max_displacement, stride2):
+def _correlation_pallas_bwd_wide(g, f1, f2, max_displacement, stride2,
+                                 slab=False):
+    """``slab=True``: rows path — f2 is the halo slab; d_f2 is returned in
+    slab coordinates (B, H+2*maxd, W, C)."""
     batch, height, width, channels = f1.shape
     d_rad = max_displacement // stride2
     disp = 2 * d_rad + 1
@@ -313,8 +331,9 @@ def _correlation_pallas_bwd_wide(g, f1, f2, max_displacement, stride2):
     n, _ = _chunk_plan(width)
     hp = height + 2 * maxd
     tww = _CHUNK_W + 2 * maxd
+    out_rows = hp if slab else height
 
-    f2c = _f2_chunk_stack(f2, maxd, n)                       # (B,n,Hp,C,128)
+    f2c = _f2_chunk_stack(f2, maxd, n, pad_h=not slab)       # (B,n,Hp,C,128)
     gc = _col_chunks(g.astype(jnp.bfloat16), n)              # (B,n,H,TW,D*D)
     flops = 2 * batch * n * height * disp * _CHUNK_W * _LANES * channels
 
@@ -346,7 +365,8 @@ def _correlation_pallas_bwd_wide(g, f1, f2, max_displacement, stride2):
     d_f2 = pl.pallas_call(
         functools.partial(_bwd_f2_kernel_wide, disp=disp, stride2=stride2,
                           maxd=maxd, height=height, channels=channels,
-                          tw=_CHUNK_W),
+                          tw=_CHUNK_W, row_shift=0 if slab else -maxd,
+                          out_rows=out_rows),
         grid=(batch, n, height),
         in_specs=[
             pl.BlockSpec((1, 1, 1, tww, disp * disp),
@@ -358,11 +378,11 @@ def _correlation_pallas_bwd_wide(g, f1, f2, max_displacement, stride2):
         ],
         # accumulated across the row grid dim: constant block index per
         # (b, chunk) keeps the f32 output resident in VMEM
-        out_specs=pl.BlockSpec((1, 1, height, _CHUNK_W, channels),
+        out_specs=pl.BlockSpec((1, 1, out_rows, _CHUNK_W, channels),
                                lambda b, i, y: (b, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (batch, n, height, _CHUNK_W, channels), jnp.float32),
+            (batch, n, out_rows, _CHUNK_W, channels), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=(gh.size + f1h.size) * 2,
             transcendentals=0),
@@ -386,6 +406,41 @@ def supported_bwd(f1: jax.Array, pad_size: int, kernel_size: int,
     g_lanes = _round_up(disp * disp, _LANES)
     if _is_wide(width, max_displacement):
         resident = height * _CHUNK_W * channels * 4  # f32 output block
+    else:
+        resident = height * width * (g_lanes + channels) * 2  # bf16
+    return resident <= _VMEM_BUDGET
+
+
+def _slab_matches(f1: jax.Array, slab: jax.Array, max_displacement: int) \
+        -> bool:
+    return (slab.shape[0] == f1.shape[0]
+            and slab.shape[1] == f1.shape[1] + 2 * max_displacement
+            and slab.shape[2:] == f1.shape[2:])
+
+
+def supported_rows(f1: jax.Array, slab: jax.Array, pad_size: int,
+                   kernel_size: int, max_displacement: int, stride1: int,
+                   stride2: int) -> bool:
+    """Rows-path support: same constraints as ``supported`` on the LOCAL f1
+    (its height is the grid extent; the resident f2 window formula
+    height + 2*maxd is exactly the slab's row count)."""
+    return (_slab_matches(f1, slab, max_displacement)
+            and supported(f1, pad_size, kernel_size, max_displacement,
+                          stride1, stride2))
+
+
+def supported_bwd_rows(f1: jax.Array, slab: jax.Array, pad_size: int,
+                       kernel_size: int, max_displacement: int, stride1: int,
+                       stride2: int) -> bool:
+    if not supported_rows(f1, slab, pad_size, kernel_size, max_displacement,
+                          stride1, stride2):
+        return False
+    _, height, width, channels = f1.shape
+    disp = 2 * (max_displacement // stride2) + 1
+    g_lanes = _round_up(disp * disp, _LANES)
+    if _is_wide(width, max_displacement):
+        # f32 output block in slab coordinates
+        resident = (height + 2 * max_displacement) * _CHUNK_W * channels * 4
     else:
         resident = height * width * (g_lanes + channels) * 2  # bf16
     return resident <= _VMEM_BUDGET
@@ -421,11 +476,16 @@ def _bwd_f1_kernel(g_ref, f2_ref, out_ref, *, disp, stride2, width, channels):
 
 
 def _bwd_f2_kernel(g_ref, f1_ref, out_ref, *, disp, stride2, maxd, height,
-                   width, channels):
+                   width, channels, row_shift):
     """d_f2 row y2: d_f2[x2, c] = 1/C * sum_t B_t^T . f1[y, :, c] with
-    y = y2 + maxd - t*s2 and B_t[x, x2] = g[y, x, t*D + (x2+maxd-x)/s2] on
-    the band |x2-x| <= maxd — the displacement-reversed gather of
-    correlation_cuda_kernel.cu:242-334 (gradInput2), as an MXU matmul."""
+    y = y2 + row_shift - t*s2 and B_t[x, x2] = g[y, x, t*D + (x2+maxd-x)/s2]
+    on the band |x2-x| <= maxd — the displacement-reversed gather of
+    correlation_cuda_kernel.cu:242-334 (gradInput2), as an MXU matmul.
+
+    ``row_shift`` = maxd for the standard path (grid over the H rows of an
+    unpadded d_f2) and 0 for the *rows* path (grid over the Hloc + 2*maxd
+    rows of a d_slab in halo coordinates); ``height`` is always the number
+    of valid g/f1 rows."""
     y2 = pl.program_id(1)
     xs = jax.lax.broadcasted_iota(jnp.int32, (width, _LANES), 0)
     x2s = jax.lax.broadcasted_iota(jnp.int32, (width, _LANES), 1)
@@ -435,7 +495,7 @@ def _bwd_f2_kernel(g_ref, f1_ref, out_ref, *, disp, stride2, maxd, height,
     idx = jnp.clip(off // stride2, 0, _LANES - 1)
     acc = jnp.zeros((_LANES, channels), jnp.float32)
     for t in range(disp):
-        y = y2 + maxd - t * stride2
+        y = y2 + row_shift - t * stride2
         yc = jnp.clip(y, 0, height - 1)
         inrow = ((y >= 0) & (y < height)).astype(g_ref.dtype)
         grow = g_ref[0, yc]                                    # (W, D*D)
@@ -459,16 +519,37 @@ def correlation_pallas_bwd(g: jax.Array, f1: jax.Array, f2: jax.Array,
     both (B, H, W, C) f32.  Matmul operands are bf16 (same policy as the
     forward kernel and XLA's default f32 matmul precision on TPU);
     accumulation is f32."""
+    return _correlation_pallas_bwd_impl(g, f1, f2, max_displacement, stride2,
+                                        slab=False)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad_size", "max_displacement", "stride2"))
+def correlation_pallas_bwd_rows(g: jax.Array, f1: jax.Array,
+                                slab: jax.Array, pad_size: int,
+                                max_displacement: int, stride2: int):
+    """Rows-path backward (spatially-sharded composition,
+    ops/correlation_spatial.py): f1 (B, Hloc, W, C) are the shard's local
+    rows, ``slab`` (B, Hloc + 2*maxd, W, C) the halo slab the forward read.
+    Returns (d_f1 (B, Hloc, W, C), d_slab (B, Hloc + 2*maxd, W, C)), f32 —
+    the caller's dynamic-slice/all_gather transposes route slab-coordinate
+    gradients home across shards."""
+    return _correlation_pallas_bwd_impl(g, f1, slab, max_displacement,
+                                        stride2, slab=True)
+
+
+def _correlation_pallas_bwd_impl(g, f1, f2, max_displacement, stride2, slab):
     batch, height, width, channels = f1.shape
     if _is_wide(width, max_displacement):
         return _correlation_pallas_bwd_wide(g, f1, f2, max_displacement,
-                                            stride2)
+                                            stride2, slab=slab)
     d_rad = max_displacement // stride2
     disp = 2 * d_rad + 1
     wp = _LANES
 
-    f2pt = _f2pt(f2, max_displacement, wp)
+    f2pt = _f2pt(f2, max_displacement, wp, pad_h=not slab)
     hp = height + 2 * max_displacement
+    out_rows = hp if slab else height
     gb = g.astype(jnp.bfloat16)
     f1b = f1.astype(jnp.bfloat16)
 
@@ -497,8 +578,9 @@ def correlation_pallas_bwd(g: jax.Array, f1: jax.Array, f2: jax.Array,
     d_f2 = pl.pallas_call(
         functools.partial(_bwd_f2_kernel, disp=disp, stride2=stride2,
                           maxd=max_displacement, height=height, width=width,
-                          channels=channels),
-        grid=(batch, height),
+                          channels=channels,
+                          row_shift=0 if slab else max_displacement),
+        grid=(batch, out_rows),
         in_specs=[
             pl.BlockSpec((1, height, width, disp * disp),
                          lambda b, y: (b, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -508,7 +590,7 @@ def correlation_pallas_bwd(g: jax.Array, f1: jax.Array, f2: jax.Array,
         out_specs=pl.BlockSpec((1, 1, width, channels),
                                lambda b, y: (b, y, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, height, width, channels),
+        out_shape=jax.ShapeDtypeStruct((batch, out_rows, width, channels),
                                        jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -524,9 +606,28 @@ def correlation_pallas(f1: jax.Array, f2: jax.Array, pad_size: int,
                        max_displacement: int, stride2: int) -> jax.Array:
     """Forward correlation; f1/f2 (B, H, W, C).  Returns (B, H, W, D*D) in
     f1's dtype (f32 accumulation internally)."""
+    return _correlation_pallas_impl(f1, f2, max_displacement, stride2,
+                                    slab=False)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pad_size", "max_displacement", "stride2"))
+def correlation_pallas_rows(f1: jax.Array, slab: jax.Array, pad_size: int,
+                            max_displacement: int, stride2: int) -> jax.Array:
+    """Rows-path forward (spatially-sharded composition): correlate the
+    shard's local f1 rows (B, Hloc, W, C) against a halo slab
+    (B, Hloc + 2*maxd, W, C) — rows [off - maxd, off + Hloc + maxd) of the
+    zero-padded global f2.  Identical math to ``correlation_pallas`` on the
+    matching global rows.  Returns (B, Hloc, W, D*D)."""
+    return _correlation_pallas_impl(f1, slab, max_displacement, stride2,
+                                    slab=True)
+
+
+def _correlation_pallas_impl(f1, f2, max_displacement, stride2, slab):
     batch, height, width, channels = f1.shape
     if _is_wide(width, max_displacement):
-        return _correlation_pallas_wide(f1, f2, max_displacement, stride2)
+        return _correlation_pallas_wide(f1, f2, max_displacement, stride2,
+                                        slab=slab)
     d_rad = max_displacement // stride2
     disp = 2 * d_rad + 1
     wp = _LANES  # width + 2*maxd padded up to one lane tile
@@ -534,7 +635,7 @@ def correlation_pallas(f1: jax.Array, f2: jax.Array, pad_size: int,
     # Pad (zeros, reference correlation_cuda.cc:36-42), transpose the channel
     # dim in front of the column dim so row slabs are (C, Wp) matmul operands,
     # and cast to bf16 — one fused XLA pass over f2.
-    f2pt = _f2pt(f2, max_displacement, wp)
+    f2pt = _f2pt(f2, max_displacement, wp, pad_h=not slab)
     hp = height + 2 * max_displacement
 
     kernel = functools.partial(_kernel, disp=disp, stride2=stride2,

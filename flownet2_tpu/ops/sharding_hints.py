@@ -21,6 +21,12 @@ dispatchers in ops/correlation.py and ops/resample2d.py then ask
   partitioning (automatic conv/gather halos) the 8-device dryrun exercises
   (__graft_entry__.dryrun_multichip).
 
+The warp and correlation ops don't stop at that fallback: they carry their
+own (data, spatial) shard_map compositions (ops/resample2d_spatial.py
+halo-gather, ops/correlation_spatial.py halo-slab) that keep the Pallas
+kernels live under spatial sharding; only ops without such a composition
+(channel_norm, the fused glue) take the GSPMD fallback there.
+
 tests/test_pallas_sharding.py pins all three behaviors.
 """
 

@@ -9,8 +9,10 @@ The TPU-native design replaces it with a 2-D ``jax.sharding.Mesh``:
   batch is sharded; nothing hand-written.
 - ``spatial`` — image-height axis (the sequence-parallel analog for flow
   nets, SURVEY.md §2.3/§5): convolutions over an H-sharded tensor get
-  their halo exchanges inserted by GSPMD automatically; the correlation
-  op's ±20 px window rides the same mechanism.
+  their halo exchanges inserted by GSPMD automatically; the warp and
+  correlation kernels carry explicit shard_map halo compositions
+  (ops/resample2d_spatial.py, ops/correlation_spatial.py) so the Pallas
+  paths stay live under H-sharding.
 
 Multi-host: ``jax.distributed.initialize`` (call ``init_distributed``)
 then the same mesh spans all hosts, with the loader feeding per-host

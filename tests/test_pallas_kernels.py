@@ -302,6 +302,62 @@ class TestCorrelationPallasWide:
         assert correlation_pallas.supported_bwd(f1, 20, 1, 20, 1, 2)
 
 
+class TestCorrelationPallasRows:
+    """The *rows* kernel variants (spatially-sharded composition,
+    ops/correlation_spatial.py): local f1 rows against a pre-H-padded halo
+    slab must reproduce the FULL kernels' rows exactly — forward and d_f1
+    bitwise (identical matmuls on identical operands), d_slab to one f32
+    add of overlap-region reassembly."""
+
+    MAXD, S2 = 4, 2
+
+    def _run(self, width, seed):
+        b, h, c = 1, 16, 8  # local rows h/2 = 8: the kernels' H%8 floor
+        maxd, s2 = self.MAXD, self.S2
+        disp = 2 * (maxd // s2) + 1
+        f1 = _rand((b, h, width, c), seed)
+        f2 = _rand((b, h, width, c), seed + 1)
+        g = _rand((b, h, width, disp * disp), seed + 2)
+        with pltpu.force_tpu_interpret_mode():
+            full = np.asarray(correlation_pallas.correlation_pallas(
+                f1, f2, maxd, maxd, s2))
+            dfull1, dfull2 = correlation_pallas.correlation_pallas_bwd(
+                g, f1, f2, maxd, maxd, s2)
+            f2p = jnp.pad(f2, ((0, 0), (maxd, maxd), (0, 0), (0, 0)))
+            hl = h // 2
+            outs, d1s = [], []
+            d2 = np.zeros((b, h + 2 * maxd, width, c), np.float32)
+            for s in range(2):
+                off = s * hl
+                slab = jax.lax.dynamic_slice(
+                    f2p, (0, off, 0, 0), (b, hl + 2 * maxd, width, c))
+                assert correlation_pallas.supported_rows(
+                    f1[:, off:off + hl], slab, maxd, 1, maxd, 1, s2)
+                outs.append(np.asarray(
+                    correlation_pallas.correlation_pallas_rows(
+                        f1[:, off:off + hl], slab, maxd, maxd, s2)))
+                d1, dsl = correlation_pallas.correlation_pallas_bwd_rows(
+                    g[:, off:off + hl], f1[:, off:off + hl], slab,
+                    maxd, maxd, s2)
+                d1s.append(np.asarray(d1))
+                d2[:, off:off + hl + 2 * maxd] += np.asarray(dsl)
+        np.testing.assert_array_equal(np.concatenate(outs, axis=1), full)
+        np.testing.assert_array_equal(np.concatenate(d1s, axis=1),
+                                      np.asarray(dfull1))
+        np.testing.assert_allclose(d2[:, maxd:maxd + h], np.asarray(dfull2),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_rows_match_full_kernel_narrow(self):
+        assert not correlation_pallas._is_wide(16, self.MAXD)
+        self._run(16, 60)
+
+    def test_rows_match_full_kernel_wide(self):
+        # 3 chunks of 64, last ragged — same chunk coverage as the full
+        # wide tests
+        assert correlation_pallas._is_wide(136, self.MAXD)
+        self._run(136, 63)
+
+
 class TestResample2dTangents:
     """The tangent-saving forward kernel: out must equal the plain forward,
     and (d1, d2) must reproduce the analytic flow gradient when contracted

@@ -99,11 +99,11 @@ def test_pallas_kernels_under_data_sharding():
 
 def test_spatial_mesh_step_runs_with_halo_warp(monkeypatch):
     """Under spatial sharding the full train step runs to a finite loss:
-    the CORRELATION op (which has no spatial composition) must never reach
-    a pallas_call — GSPMD halo-partitions its XLA formulation — while the
-    warp routes through the (data, spatial) halo-gather shard_map
-    composition (ops/resample2d_spatial.py; dispatch log is the
-    evidence)."""
+    the single-extent (non-rows) Pallas correlation kernels must never be
+    reached — the op routes through the (data, spatial) halo-SLAB shard_map
+    composition (ops/correlation_spatial.py) instead — and the warp routes
+    through the halo-gather composition (ops/resample2d_spatial.py); the
+    dispatch log is the evidence for both."""
     from flownet2_tpu.ops.sharding_hints import clear_dispatch_log, \
         dispatch_log
 
@@ -130,6 +130,7 @@ def test_spatial_mesh_step_runs_with_halo_warp(monkeypatch):
     assert np.isfinite(float(m["loss"]))
     assert calls["n"] == 0
     assert "halo-gather" in dispatch_log().get("resample2d", "")
+    assert "halo-slab" in dispatch_log().get("correlation", "")
 
 
 def test_spatial_halo_warp_matches_fallback_bitwise():
@@ -195,6 +196,86 @@ def test_spatial_halo_warp_pallas_kernels_interpret():
     # kernel accumulates in a different association than the XLA lerp
     np.testing.assert_allclose(out, np.asarray(ref), atol=2e-6)
     np.testing.assert_allclose(g, np.asarray(ref_g), atol=2e-5)
+
+
+def test_spatial_halo_correlation_matches_fallback():
+    """The spatially-sharded correlation composition
+    (ops/correlation_spatial.py) vs the unsharded op on the CPU mesh:
+    forward and d_f1 BITWISE (the XLA slab fallback shares _mxu_padded
+    with the unsharded banded-matmul path, so per-element arithmetic is
+    identical and both stay shard-local); d_f2 crosses shards through the
+    all_gather transpose's psum_scatter, so only its one cross-shard add
+    association differs."""
+    from flownet2_tpu.ops.correlation import correlation
+    from flownet2_tpu.ops.sharding_hints import dispatch_log, \
+        clear_dispatch_log
+
+    rng = np.random.RandomState(11)
+    b, hh, ww, c = 4, 16, 64, 8
+    f1 = jnp.asarray(rng.randn(b, hh, ww, c).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(b, hh, ww, c).astype(np.float32))
+
+    def loss(a, bb):
+        return jnp.sum(jnp.sin(correlation(a, bb, 20, 1, 20, 1, 2)))
+
+    ref = jax.jit(lambda a, bb: correlation(a, bb, 20, 1, 20, 1, 2))(f1, f2)
+    rg1, rg2 = jax.jit(jax.grad(loss, argnums=(0, 1)))(f1, f2)
+
+    mesh = make_mesh(spatial=2)
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", "spatial"))
+    f1s, f2s = jax.device_put(f1, spec), jax.device_put(f2, spec)
+    clear_dispatch_log()
+    out = jax.jit(lambda a, bb: correlation(a, bb, 20, 1, 20, 1, 2))(f1s, f2s)
+    g1, g2 = jax.jit(jax.grad(loss, argnums=(0, 1)))(f1s, f2s)
+    assert "halo-slab" in dispatch_log().get("correlation", "")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(rg1))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(rg2), atol=1e-5)
+
+
+def test_spatial_halo_correlation_pallas_kernels_interpret():
+    """The PALLAS rows kernels (correlation_pallas_rows / _bwd_rows) under
+    the spatial composition: force-enable them in Mosaic interpreter mode
+    on the CPU mesh and compare against the unsharded XLA path.  Proves
+    the slab-coordinate grid/offset plumbing; tolerances are the kernels'
+    bf16 matmul-operand rounding (same policy as the single-extent
+    kernels, tests/test_pallas_kernels.py)."""
+    from flownet2_tpu.ops import correlation_spatial
+    from flownet2_tpu.ops.correlation import correlation
+    from flownet2_tpu.ops.sharding_hints import dispatch_log, \
+        clear_dispatch_log
+
+    rng = np.random.RandomState(12)
+    # W=96 exercises the WIDE (column-chunked) rows path: 96 + 2*20 > 128
+    b, hh, ww, c = 1, 16, 96, 8
+    f1 = jnp.asarray(rng.randn(b, hh, ww, c).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(b, hh, ww, c).astype(np.float32))
+
+    def loss(a, bb):
+        return jnp.sum(jnp.sin(correlation(a, bb, 20, 1, 20, 1, 2)))
+
+    ref = jax.jit(lambda a, bb: correlation(a, bb, 20, 1, 20, 1, 2))(f1, f2)
+    rg1, rg2 = jax.jit(jax.grad(loss, argnums=(0, 1)))(f1, f2)
+
+    mesh = make_mesh(jax.devices()[:2], spatial=2)
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", "spatial"))
+    f1s, f2s = jax.device_put(f1, spec), jax.device_put(f2, spec)
+    correlation_spatial.set_force_pallas(True)
+    clear_dispatch_log()
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = jax.jit(
+                lambda a, bb: correlation(a, bb, 20, 1, 20, 1, 2))(f1s, f2s)
+            g1, g2 = jax.jit(jax.grad(loss, argnums=(0, 1)))(f1s, f2s)
+            out, g1, g2 = np.asarray(out), np.asarray(g1), np.asarray(g2)
+    finally:
+        correlation_spatial.set_force_pallas(None)
+    assert "pallas-rows" in dispatch_log().get("correlation", "")
+    np.testing.assert_allclose(out, np.asarray(ref), atol=2e-2, rtol=1e-2)
+    np.testing.assert_allclose(g1, np.asarray(rg1), atol=3e-2, rtol=1e-2)
+    np.testing.assert_allclose(g2, np.asarray(rg2), atol=3e-2, rtol=1e-2)
 
 
 def test_kernel_wrapper_modes():
