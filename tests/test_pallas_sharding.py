@@ -278,6 +278,32 @@ def test_spatial_halo_correlation_pallas_kernels_interpret():
     np.testing.assert_allclose(g2, np.asarray(rg2), atol=3e-2, rtol=1e-2)
 
 
+def test_spatial_halo_correlation_ragged_height_falls_back():
+    """A height the spatial axis does not divide: the composition declines
+    (with the rate-limited diagnostic) and the op still computes correctly
+    through the XLA path under the active spatial mesh.  (An uneven
+    device_put cannot even be constructed — this covers trace-time shapes
+    GSPMD would reshard internally.)"""
+    from flownet2_tpu.ops import sharding_hints
+    from flownet2_tpu.ops.correlation import correlation
+
+    rng = np.random.RandomState(13)
+    f1 = jnp.asarray(rng.randn(4, 15, 32, 8).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(4, 15, 32, 8).astype(np.float32))
+    ref = jax.jit(lambda a, bb: correlation(a, bb, 4, 1, 4, 1, 2))(f1, f2)
+
+    mesh = make_mesh(spatial=2)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    sharding_hints._WARNED_REASONS.clear()
+    sharding_hints.clear_dispatch_log()
+    out = jax.jit(lambda a, bb: correlation(a, bb, 4, 1, 4, 1, 2))(
+        jax.device_put(f1, rep), jax.device_put(f2, rep))
+    assert "halo-slab" not in sharding_hints.dispatch_log().get(
+        "correlation", "")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_kernel_wrapper_modes():
     # no mesh -> identity
     set_active_mesh(None, False)
