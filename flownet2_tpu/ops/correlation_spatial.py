@@ -162,8 +162,10 @@ def spatial_wrapper(f1, f2, max_displacement: int, stride2: int, impl: str):
     mesh = sharding_hints._ACTIVE_MESH
     if mesh is None or not sharding_hints.spatial_sharding_active():
         return None
-    if impl == "shifts":
-        return None  # explicit golden-reference request: leave it to GSPMD
+    if impl != "pallas":
+        # explicit shifts/mxu request (golden-reference / debug paths):
+        # honor the requested formulation and leave it to GSPMD
+        return None
     if max_displacement % stride2 != 0:
         return None
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
