@@ -357,6 +357,27 @@ class TestCorrelationPallasRows:
         assert correlation_pallas._is_wide(136, self.MAXD)
         self._run(136, 63)
 
+    def test_supported_rows_gate(self):
+        f1 = jnp.zeros((2, 24, 64, 32), jnp.float32)
+        slab = jnp.zeros((2, 64, 64, 32), jnp.float32)  # 24 + 2*20
+        assert correlation_pallas.supported_rows(f1, slab, 20, 1, 20, 1, 2)
+        assert correlation_pallas.supported_bwd_rows(f1, slab,
+                                                     20, 1, 20, 1, 2)
+        # slab rows must be exactly Hloc + 2*maxd
+        bad = jnp.zeros((2, 60, 64, 32), jnp.float32)
+        assert not correlation_pallas.supported_rows(f1, bad, 20, 1, 20, 1, 2)
+        # local height keeps the kernels' H%8 floor
+        f1r = jnp.zeros((2, 20, 64, 32), jnp.float32)
+        slabr = jnp.zeros((2, 60, 64, 32), jnp.float32)
+        assert not correlation_pallas.supported_rows(f1r, slabr,
+                                                     20, 1, 20, 1, 2)
+        # the FlowNetC config at the bench shape, H 48 split over 2 shards
+        f1m = jnp.zeros((8, 24, 64, 256), jnp.float32)
+        slabm = jnp.zeros((8, 64, 64, 256), jnp.float32)
+        assert correlation_pallas.supported_rows(f1m, slabm, 20, 1, 20, 1, 2)
+        assert correlation_pallas.supported_bwd_rows(f1m, slabm,
+                                                     20, 1, 20, 1, 2)
+
 
 class TestResample2dTangents:
     """The tangent-saving forward kernel: out must equal the plain forward,
