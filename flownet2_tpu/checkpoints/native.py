@@ -23,7 +23,10 @@ import numpy as np
 
 
 def _ckpt_dir(base, tag):
-    return os.path.join(os.fspath(base), tag)
+    """``tag=None``: ``base`` IS the checkpoint directory (e.g. a
+    ``--resume`` flag pointing straight at ``<run>/model_best``)."""
+    return os.fspath(base) if tag is None else os.path.join(
+        os.fspath(base), tag)
 
 
 def _replace_dir(src: pathlib.Path, dst: pathlib.Path) -> None:
@@ -91,11 +94,15 @@ def save_checkpoint(directory: str | os.PathLike, state: Any, epoch: int,
 
 def restore_checkpoint(directory: str | os.PathLike,
                        state_template: Any,
-                       tag: str = "train-checkpoint") -> Tuple[Any, dict]:
+                       tag: Optional[str] = "train-checkpoint"
+                       ) -> Tuple[Any, dict]:
     """Restore a TrainState saved by ``save_checkpoint``.
 
     ``state_template`` supplies the tree structure/shapes (e.g. a freshly
-    initialised TrainState).
+    initialised TrainState).  ``tag=None`` restores ``directory`` itself
+    as the checkpoint (a ``--resume`` path naming a specific checkpoint,
+    e.g. ``<run>/model_best``, mirroring the reference's checkpoint-file
+    ``--resume``, main.py:208-219).
     """
     import orbax.checkpoint as ocp
 

@@ -93,8 +93,18 @@ class Trainer:
                   f"{os.path.join(self.config.save_dir, 'profile')}")
 
     # -- checkpoint plumbing -------------------------------------------------
-    def resume(self, state):
-        state, meta = restore_checkpoint(self.config.save_dir, state)
+    def resume(self, state, path: Optional[str] = None):
+        """Restore from ``path`` when given (either a run directory holding
+        a ``train-checkpoint`` or a specific checkpoint directory such as
+        ``<run>/model_best`` — the reference's ``--resume`` names a
+        checkpoint, main.py:208-219), else from this run's save dir."""
+        import os
+
+        base = path or self.config.save_dir
+        tag = "train-checkpoint"
+        if path and not os.path.isdir(os.path.join(base, tag)):
+            tag = None  # path IS the checkpoint directory
+        state, meta = restore_checkpoint(base, state, tag=tag)
         # --start_epoch (when given) wins over the checkpoint's epoch, as in
         # the reference (main.py:211-212 only reads checkpoint['epoch'] when
         # the flag is at its default)

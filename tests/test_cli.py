@@ -134,6 +134,45 @@ def test_cli_train_one_epoch(sintel_dir, tmp_path):
         assert any("loss" in vals for _, vals in events), split
 
 
+def test_cli_inference_resume_native(sintel_dir, tmp_path):
+    """--resume pointing at a SPECIFIC native checkpoint directory (e.g.
+    <run>/model_best) from a DIFFERENT --save dir: the reference's --resume
+    names a checkpoint to load (main.py:208-219); until round 5 the flag's
+    value was ignored and resume always read <save>/train-checkpoint
+    (found by an on-TPU CLI round trip)."""
+    run_a = tmp_path / "a"
+    rc = main(["--model", "FlowNet2S", "--loss", "MultiScale",
+               "--batch_size", "2", "--total_epochs", "1",
+               "--validation_frequency", "1", "--save", str(run_a),
+               "--training_dataset", "MpiSintelClean",
+               "--training_dataset_root", str(sintel_dir),
+               "--validation_dataset", "MpiSintelClean",
+               "--validation_dataset_root", str(sintel_dir)])
+    assert rc == 0
+    assert (run_a / "model_best").exists()
+
+    run_b = tmp_path / "b"
+    rc = main(["--inference", "--save_flow", "--model", "FlowNet2S",
+               "--batch_size", "2",
+               "--resume", str(run_a / "model_best"),
+               "--inference_dataset", "MpiSintelClean",
+               "--inference_dataset_root", str(sintel_dir),
+               "--inference_batch_size", "2", "--save", str(run_b)])
+    assert rc == 0
+    flows = sorted((run_b / "inference" / "flows").glob("*.flo"))
+    assert flows, "no .flo outputs written after --resume inference"
+
+    # a run directory (holding train-checkpoint) also works as --resume
+    run_c = tmp_path / "c"
+    rc = main(["--inference", "--model", "FlowNet2S",
+               "--batch_size", "2",
+               "--resume", str(run_a),
+               "--inference_dataset", "MpiSintelClean",
+               "--inference_dataset_root", str(sintel_dir),
+               "--inference_batch_size", "2", "--save", str(run_c)])
+    assert rc == 0
+
+
 def test_cli_fp16_training(sintel_dir, tmp_path):
     """--precision fp16 wires float16 compute + static loss scaling +
     skip-nonfinite updates (reference --fp16/--fp16_scale, main.py:61-62,
