@@ -28,7 +28,6 @@ CSS-ft-sd / S / SD).
 from __future__ import annotations
 
 import pathlib
-import struct
 from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
-import threading
 from typing import Iterator, Optional, Sequence
 
 import numpy as np

@@ -39,8 +39,6 @@ the unsharded op on the same rows).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -18,7 +18,6 @@ and ``mode='nearest'`` for the SD branch and final S2
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ main.py:246-340,343-405) with functional steps compiled once over the mesh:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

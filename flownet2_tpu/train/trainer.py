@@ -10,7 +10,7 @@ checkpoints, JSONL metrics instead of TensorboardX.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Iterable, Optional
+from typing import Iterable, Optional
 
 import jax
 import numpy as np
